@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark (SURVEY §6 / BASELINE.md).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timing discipline (BASELINE.md): per-query EXECUTION time on a warmed
+session — each query runs three times and the MINIMUM is reported (this
+host shows transient multi-10s scheduling spikes unrelated to the engine;
+min-of-N isolates engine cost). The sink is the noop writer so results are
+fully computed but never shipped to the driver. Spark's ~seconds of fixed
+local job overhead is excluded by the warm-up, matching how the DuckDB
+baseline was measured (in-process, second run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "win_topk_per_group",
+    "cdc_snapshot_diff",
+    "cdc_dedup_extract",
+    "win_sessionize",
+    "llm_tf_top_terms",
+    "llm_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from engine import registry
+    from engine.io import get_spark
+
+    registry.load_all()
+    spark = get_spark(app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).count()  # JVM/codegen warm-up
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        best = float("inf")
+        for _ in range(3):  # report min: robust to host scheduling noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

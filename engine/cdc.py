@@ -1,0 +1,406 @@
+"""CDC core (SURVEY.md §2.1) — the reference's soul, Spark-first.
+
+Semantics re-expressed from the public `avensolutions/cdc-at-scale-using-spark`
+design (hash-fingerprint snapshot diffing; the local reference checkout is
+empty — see SURVEY §0 — so semantics are cited at the design level, not
+file:line): each source extract gets two derived fingerprint columns —
+``key_hash`` over the business-key columns and ``nonkey_hash`` over the
+tracked non-key columns — and the entire change-detection problem reduces
+to a full outer join of previous snapshot vs new extract **on the key hash
+alone**, comparing one hash per side for update detection.
+
+Why this scales to 100 TB: the diff shuffle carries two fixed-width hash
+columns instead of N value columns, the join is a pure equi join on a
+uniformly-distributed key (hashes don't skew), and update comparison is
+O(1) per row regardless of column count. We keep that design verbatim and
+let AQE handle residual skew.
+
+Library API: ``SourceSpec`` + pure DataFrame→DataFrame functions, reused by
+the streaming CDC pipeline (engine/streaming.py) under ``foreachBatch``.
+
+Fixture derivation (FIXTURES.md): prev = orders with ``o_orderkey % 10 <>
+0``; curr = orders with ``o_orderkey % 11 <> 0``, with ``o_totalprice + 1``
+where ``o_orderkey % 7 = 0``. Both engines use exactly this derivation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+NULL_SENTINEL = "<NULL>"
+SEP = "||"
+
+#: Fixed changelog timestamp — run timestamps are parameters, never wall
+#: clock (determinism, SURVEY §5.3).
+RUN_TS = "2026-01-01 00:00:00"
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """Config-driven source definition: the reference supplies key columns
+    and tracked columns per source by configuration, never by inference."""
+
+    name: str
+    key_cols: tuple[str, ...]
+    tracked_cols: tuple[str, ...]
+    extract_type: str = "full"  # "full" (deletes detectable) | "delta"
+
+
+ORDERS_SPEC = SourceSpec(
+    name="orders",
+    key_cols=("o_orderkey",),
+    tracked_cols=("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+)
+
+
+def _stringify(c: str):
+    return F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+
+
+def with_fingerprints(df: DataFrame, spec: SourceSpec, algo: str = "md5") -> DataFrame:
+    """Add ``key_hash`` and ``nonkey_hash``. ``algo``: 'md5' (cross-engine
+    verifiable) or 'xxhash64' (faster, JVM-only — use at scale)."""
+    def h(cols):
+        s = F.concat_ws(SEP, *[_stringify(c) for c in cols])
+        if algo == "md5":
+            return F.md5(s)
+        if algo == "xxhash64":
+            return F.xxhash64(s)
+        raise ValueError(f"unknown hash algo: {algo}")
+
+    return df.withColumn("key_hash", h(spec.key_cols)).withColumn(
+        "nonkey_hash", h(spec.tracked_cols)
+    )
+
+
+def snapshot_diff(prev: DataFrame, curr: DataFrame, spec: SourceSpec) -> DataFrame:
+    """Full outer join prev vs curr on key_hash; classify each key:
+    I (only curr), D (only prev), U (both, nonkey_hash differs), N (same).
+
+    Returns curr's columns (prev's for D rows) + ``op``.
+    """
+    p = with_fingerprints(prev, spec).select(
+        F.col("key_hash").alias("p_key_hash"),
+        F.col("nonkey_hash").alias("p_nonkey_hash"),
+        *[F.col(c).alias(f"p_{c}") for c in (*spec.key_cols, *spec.tracked_cols)],
+    )
+    c = with_fingerprints(curr, spec)
+    j = c.join(p, c["key_hash"] == p["p_key_hash"], "full_outer")
+    op = (
+        F.when(F.col("p_key_hash").isNull(), F.lit("I"))
+        .when(F.col("key_hash").isNull(), F.lit("D"))
+        .when(F.col("nonkey_hash") != F.col("p_nonkey_hash"), F.lit("U"))
+        .otherwise(F.lit("N"))
+    )
+    cols = [
+        F.coalesce(F.col(col), F.col(f"p_{col}")).alias(col)
+        for col in (*spec.key_cols, *spec.tracked_cols)
+    ]
+    return j.select(
+        op.alias("op"),
+        F.coalesce(F.col("key_hash"), F.col("p_key_hash")).alias("key_hash"),
+        *cols,
+    )
+
+
+def apply_changes(prev: DataFrame, changelog: DataFrame, spec: SourceSpec) -> DataFrame:
+    """Replay a changelog (op ∈ {I,U,D} rows) onto a snapshot:
+    delete D keys, upsert I/U rows. MERGE semantics without Delta Lake."""
+    cols = [*spec.key_cols, *spec.tracked_cols]
+    p = with_fingerprints(prev, spec)
+    touched = changelog.select("key_hash").distinct()
+    untouched = p.join(touched, "key_hash", "left_anti").select(*cols)
+    upserts = changelog.where(F.col("op").isin("I", "U")).select(*cols)
+    return untouched.unionByName(upserts)
+
+
+def incremental_upsert(prev: DataFrame, delta: DataFrame, spec: SourceSpec) -> DataFrame:
+    """Delta-extract path: upsert incoming keys, keep the rest, no deletes."""
+    cols = [*spec.key_cols, *spec.tracked_cols]
+    p = with_fingerprints(prev, spec)
+    d = with_fingerprints(delta, spec)
+    kept = p.join(d.select("key_hash"), "key_hash", "left_anti").select(*cols)
+    return kept.unionByName(d.select(*cols))
+
+
+def dedup_extract(df: DataFrame, key_cols: list[str], order_col: str, tiebreak: str) -> DataFrame:
+    """Collapse multi-change-per-key extracts to the latest row per key."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# fixture derivation shared by queries and oracles
+# ---------------------------------------------------------------------------
+
+
+def _prev_curr(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_tables(spark, sf_dir)["orders"]
+    prev = o.where(F.col("o_orderkey") % 10 != 0)
+    curr = o.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return prev, curr
+
+
+_SQL_PREV = "SELECT * FROM orders WHERE o_orderkey % 10 <> 0"
+_SQL_CURR = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 11 <> 0
+"""
+
+#: DuckDB mirror of with_fingerprints for the orders spec. Doubles/timestamps
+#: stringify identically in Spark and DuckDB for this fixture's value ranges
+#: (verified by the hash-match itself).
+_SQL_FP = """
+    md5(concat_ws('||', coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'))) AS key_hash,
+    md5(concat_ws('||',
+        coalesce(CAST(o_custkey AS VARCHAR), '<NULL>'),
+        coalesce(CAST(o_orderstatus AS VARCHAR), '<NULL>'),
+        coalesce(CAST(o_totalprice AS VARCHAR), '<NULL>'),
+        coalesce(CAST(o_orderdate AS VARCHAR), '<NULL>'),
+        coalesce(CAST(o_orderpriority AS VARCHAR), '<NULL>'))) AS nonkey_hash
+"""
+
+_SQL_DIFF = f"""
+    WITH prev AS ({_SQL_PREV}), curr AS ({_SQL_CURR}),
+    p AS (SELECT *, {_SQL_FP} FROM prev),
+    c AS (SELECT *, {_SQL_FP} FROM curr),
+    j AS (
+      SELECT c.key_hash AS c_kh, p.key_hash AS p_kh,
+             c.nonkey_hash AS c_nh, p.nonkey_hash AS p_nh,
+             coalesce(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+             coalesce(c.o_totalprice, p.o_totalprice) AS o_totalprice
+      FROM c FULL OUTER JOIN p ON c.key_hash = p.key_hash
+    )
+    SELECT CASE WHEN p_kh IS NULL THEN 'I'
+                WHEN c_kh IS NULL THEN 'D'
+                WHEN c_nh <> p_nh THEN 'U'
+                ELSE 'N' END AS op,
+           o_orderkey, o_totalprice
+    FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1 registered keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_hash_fingerprint",
+    oracle=f"SELECT o_orderkey, {_SQL_FP} FROM orders",
+)
+def cdc_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key/non-key MD5 fingerprints on orders — null-safe stringification
+    with an explicit sentinel so column-boundary ambiguity can't collide."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return with_fingerprints(o, ORDERS_SPEC).select("o_orderkey", "key_hash", "nonkey_hash")
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"SELECT op, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM ({_SQL_DIFF}) GROUP BY op",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diff classification, summarized per op (I/U/D/N counts +
+    checksum) — the row-level diff feeds the other cdc_* keys."""
+    prev, curr = _prev_curr(spark, sf_dir)
+    d = snapshot_diff(prev, curr, ORDERS_SPEC)
+    return d.groupBy("op").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle=f"SELECT o_orderkey, o_totalprice FROM ({_SQL_CURR})",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay property in query form: diff(prev, curr) applied to prev must
+    reproduce curr exactly (full-extract semantics). The oracle is simply
+    curr — if the replay has any bug, the hash mismatches."""
+    prev, curr = _prev_curr(spark, sf_dir)
+    changelog = snapshot_diff(prev, curr, ORDERS_SPEC).where(F.col("op") != "N")
+    snap = apply_changes(prev, changelog, ORDERS_SPEC)
+    return snap.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "cdc_delete_detect_full",
+    oracle=f"""
+    WITH prev AS ({_SQL_PREV}), curr AS ({_SQL_CURR})
+    SELECT p.o_orderkey FROM prev p
+    WHERE NOT EXISTS (SELECT 1 FROM curr c WHERE c.o_orderkey = p.o_orderkey)
+    """,
+)
+def cdc_delete_detect_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes are detectable only on full extracts: prev keys absent from
+    curr, via left-anti join on the key hash."""
+    prev, curr = _prev_curr(spark, sf_dir)
+    p = with_fingerprints(prev, ORDERS_SPEC)
+    c = with_fingerprints(curr, ORDERS_SPEC)
+    return p.join(c.select("key_hash"), "key_hash", "left_anti").select("o_orderkey")
+
+
+@query(
+    "cdc_incremental_upsert",
+    oracle=f"""
+    WITH prev AS ({_SQL_PREV}), curr AS ({_SQL_CURR}),
+         delta AS (SELECT * FROM curr WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, o_totalprice FROM delta
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM prev p
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = p.o_orderkey)
+    """,
+)
+def cdc_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-extract path: a partial extract (every 3rd key of curr)
+    upserted into prev; untouched prev rows survive; no deletes."""
+    prev, curr = _prev_curr(spark, sf_dir)
+    delta = curr.where(F.col("o_orderkey") % 3 == 0)
+    snap = incremental_upsert(prev, delta, ORDERS_SPEC)
+    return snap.select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "cdc_changelog",
+    oracle=f"""
+    SELECT op, o_orderkey, o_totalprice, TIMESTAMP '{RUN_TS}' AS load_ts
+    FROM ({_SQL_DIFF}) WHERE op <> 'N'
+    """,
+)
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only change records (op ≠ N) stamped with the run's load_ts —
+    passed as a parameter, never current_timestamp() (determinism)."""
+    prev, curr = _prev_curr(spark, sf_dir)
+    d = snapshot_diff(prev, curr, ORDERS_SPEC).where(F.col("op") != "N")
+    return d.select(
+        "op",
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(RUN_TS).cast("timestamp_ntz").alias("load_ts"),
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT o_custkey AS entity_key, o_orderkey AS change_id,
+           o_totalprice AS attr_value,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w AS effective_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history from a changelog (orders as per-customer change
+    events): effective_from/effective_to intervals that partition time per
+    key — `effective_to` = next change's timestamp, open-ended for the
+    current row."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("entity_key"),
+        F.col("o_orderkey").alias("change_id"),
+        F.col("o_totalprice").alias("attr_value"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.lead("o_orderdate").over(w).alias("effective_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "cdc_dedup_extract",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_dedup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest change per key (events as a multi-change-per-key extract) —
+    collapse before diffing. row_number, not max+join: one shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = dedup_extract(ev, ["user_id"], "ts", "event_id")
+    return d.select("user_id", "event_id", "ts", "value")
+
+
+@query(
+    "cdc_changelog_compact",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+             ts, value
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             arg_min(op, ts) AS first_op,
+             arg_max(op, ts) AS last_op,
+             arg_max(value, ts) AS last_value
+      FROM ch GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'X'
+                WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op,
+           CASE WHEN last_op = 'D' THEN NULL ELSE last_value END AS net_value
+    FROM agg
+    WHERE NOT (first_op = 'I' AND last_op = 'D')
+    """,
+)
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect compaction of a changelog: I…D per key cancels out ('X',
+    dropped), I…U collapses to I with last values, …D collapses to D,
+    everything else nets to U. One aggregation, no per-key iteration —
+    min_by/max_by give the first/last ops without a window sort."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ch = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "value",
+    )
+    agg = ch.groupBy("user_id").agg(
+        F.min_by("op", "ts").alias("first_op"),
+        F.max_by("op", "ts").alias("last_op"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+    net = (
+        F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), "X")
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+    )
+    return (
+        agg.withColumn("net_op", net)
+        .where(F.col("net_op") != "X")
+        .select(
+            "user_id",
+            "net_op",
+            F.when(F.col("last_op") == "D", F.lit(None).cast("double"))
+            .otherwise(F.col("last_value"))
+            .alias("net_value"),
+        )
+    )

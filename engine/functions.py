@@ -1,0 +1,407 @@
+"""Scalar function surface (SURVEY.md §2.8): string / regex / date / math /
+conditional / cast / hash / array / map / JSON.
+
+All built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd;
+no Python UDFs anywhere in this module (UDFs live in engine/udf.py as the
+explicitly-slow path). Oracle-dialect hazards (dayofweek conventions,
+bround ties, float32 promotion) are handled per SURVEY §5.3 and noted
+inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+
+@query(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           trim('  ' || p_name || ' ') AS trimmed,
+           length(p_name) AS len,
+           substring(p_name, 1, 5) AS sub5,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           string_split(p_name, ' ') AS tokens,
+           replace(p_name, ' ', '_') AS snake
+    FROM part
+    """,
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("len"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.split("p_name", " ").alias("tokens"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+    )
+
+
+@query(
+    "fn_string_regex",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_type, '^(PROMO|SMALL)') AS is_promo_small,
+           regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+    FROM part
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family. Patterns kept to the Java∩RE2 common subset so both
+    engines agree. NB DuckDB regexp_replace needs the 'g' flag to match
+    Spark's replace-all semantics."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^(PROMO|SMALL)").alias("is_promo_small"),
+        F.regexp_extract("p_brand", r"([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           dayofweek(o_orderdate) + 1 AS dow,
+           dayofyear(o_orderdate) AS doy,
+           quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction. Convention trap: Spark dayofweek is 1=Sunday,
+    DuckDB is 0=Sunday — oracle adds 1."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch0,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(o_orderdate + INTERVAL 45 DAY AS DATE)  AS plus45d,
+           epoch(o_orderdate) AS unix_sec
+    FROM orders
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic. datediff arg order flips between engines; Spark
+    add_months ≡ DuckDB + INTERVAL n MONTH (both clamp month-end)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")).alias(
+            "days_since_epoch0"
+        ),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.date_add(F.col("o_orderdate").cast("date"), 45).alias("plus45d"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("unix_sec"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           abs(l_discount - 0.05) AS adist,
+           CAST(ceil(l_extendedprice) AS BIGINT)  AS c,
+           CAST(floor(l_extendedprice) AS BIGINT) AS f,
+           round(pow(l_quantity, 2), 6)  AS q2,
+           round(sqrt(l_quantity), 6)    AS sq,
+           round(ln(l_extendedprice), 6) AS lnp,
+           round(exp(l_discount), 6)     AS ed,
+           l_orderkey % 7 AS pm
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Spark ceil/floor return BIGINT (oracle casts); pmod ≡
+    % for non-negative operands."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("adist"),
+        F.ceil("l_extendedprice").alias("c"),
+        F.floor("l_extendedprice").alias("f"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q2"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lnp"),
+        F.round(F.exp("l_discount"), 6).alias("ed"),
+        F.pmod("l_orderkey", F.lit(7)).alias("pm"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_x,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NOT NULL
+                THEN 'known' ELSE 'pending' END AS nvl2_like,
+           greatest(o_totalprice, 50000.0) AS g,
+           least(o_totalprice, 400000.0)   AS l
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["orders"]
+    return li.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_x"
+        ),
+        F.nvl2(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("known"), F.lit("pending")
+        ).alias("nvl2_like"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("g"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("l"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(trunc(o_totalprice) AS INT) AS DOUBLE) AS price_int_d,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST('42' AS INT) AS lit_int,
+           CAST(o_custkey AS DOUBLE) AS cust_d
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice across int/double/string/date/decimal(12,2)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("int").cast("double").alias("price_int_d"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.lit("42").cast("int").alias("lit_int"),
+        F.col("o_custkey").cast("double").alias("cust_d"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-checkable hashes (md5, sha2-256) — the CDC fingerprint
+    primitives."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )
+
+
+@query("fn_hash_fast")
+def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-fast hashes with no DuckDB twin (rows-only): xxhash64 (the scale
+    choice for CDC fingerprints — 8 bytes, ~10× md5 throughput) and crc32.
+    Self-validated in-query: hashing must be deterministic per input."""
+    c = load_tables(spark, sf_dir)["customer"]
+    h = c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("h_xx"),
+        F.crc32("c_name").alias("h_crc"),
+        F.xxhash64("c_name").alias("h_xx2"),
+    )
+    return h.select(
+        "c_custkey", "h_xx", "h_crc", (F.col("h_xx") == F.col("h_xx2")).alias("stable")
+    )
+
+
+@query(
+    "fn_array_basic",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
+           list_transform(list_slice(embedding, 1, 3),
+                          x -> round(CAST(x AS DOUBLE), 5)) AS head3,
+           list_sort(list_distinct(list_transform(list_slice(embedding, 1, 4),
+                     x -> CAST(x > 0 AS INT)))) AS sign_set
+    FROM embeddings
+    """,
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / element_at / slice / array_distinct / sort_array over the
+    embedding vector column (float32 → cast to double before rounding,
+    since DuckDB promotes list elements to double)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("e0"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 5)
+        ).alias("head3"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform(F.slice("embedding", 1, 4), lambda x: (x > 0).cast("int"))
+            )
+        ).alias("sign_set"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text <> '')
+    GROUP BY token
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(text)) → token frequency. Generator runs inside
+    codegen; no shuffle until the count."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.where(F.col("text") != "")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@query("fn_array_posexplode")
+def fn_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — token with position (rows-only: DuckDB's unnest has no
+    portable ordinality in 1.0). Self-check column: element_at(tokens,
+    pos+1) == token must hold for every row."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.where(F.col("text") != "").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    ex = t.select("doc_id", "toks", F.posexplode("toks").alias("pos", "token"))
+    return ex.select(
+        "doc_id",
+        "pos",
+        "token",
+        (F.element_at("toks", F.col("pos") + 1) == F.col("token")).alias("pos_ok"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS esum
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions: transform / filter / aggregate / zip_with.
+    norm² computed as zip_with(e, e, *) then aggregate-fold — the building
+    block of the cosine similarity ops (§2.10). All casts to double happen
+    BEFORE the multiply so both engines do float64 math in the same order."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    prods = F.zip_with(dbl, dbl, lambda x, y: x * y)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("norm2"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4).alias("esum"),
+    )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS ks,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
+    FROM events
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string → MapType → map_keys / element_at. The semi-structured
+    path: parse once, then pure map ops."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.element_at(m, "k").alias("k_val"),
+        (F.element_at(m, "k") * 2).alias("k2"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / from_json(struct) over events.props."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+    )

@@ -1,0 +1,210 @@
+"""Table loading, scan/sink operators (SURVEY.md §2.2) and session config.
+
+The one place that knows about the fixture layout
+(``/root/testdata/sf*/{region,nation,...}.parquet``) and the one place that
+normalizes the ``events.ts`` nanosecond-timestamp parquet column, which
+Spark 4.x cannot read natively (``PARQUET_TYPE_ILLEGAL: INT64
+(TIMESTAMP(NANOS,false))``): we read it as a raw ns long via
+``spark.sql.legacy.parquet.nanosAsLong`` and truncate to microseconds with
+integer division (``ts div 1000`` — integer ``div``, never float ``/``,
+which would lose precision on ~1.7e18 ns epochs), matching DuckDB's
+``CAST(ts AS TIMESTAMP)`` µs truncation so oracle hashes agree.
+
+Scale notes (100 TB posture): ``load_tables`` is pure metadata — schemas
+come from parquet footers, reads are lazy, and every downstream filter /
+projection is pushed into the scan by Catalyst (verify: ``PushedFilters``
+in ``df.explain('formatted')``). On a real cluster the same code reads
+partitioned directories with partition pruning; nothing here assumes
+single-node.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine.registry import query
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: SQL configs every session needs. Applied idempotently by ``configure``.
+SESSION_CONF = {
+    # events.ts is INT64 TIMESTAMP(NANOS) — unreadable without this flag.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Determinism: all timestamp rendering in UTC (SURVEY §5.3).
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / toPandas crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent)."""
+    for k, v in SESSION_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session sized for this machine.
+
+    ``shuffle_partitions`` defaults to the core count — on a real cluster
+    you would size it to ~2-3× total executor cores and let AQE coalesce.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in SESSION_CONF.items():
+        b = b.config(k, v)
+    return configure(b.getOrCreate())
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a lazy DataFrame; normalize ``events.ts``.
+
+    ``events`` gains:
+      - ``ts``: timestamp (µs precision, UTC, NTZ) — truncated from ns with
+        integer division, identical to DuckDB's ``CAST(ts AS TIMESTAMP)``.
+      - ``ts_ns``: the original raw int64 nanoseconds, for ops that need
+        full precision (sessionization windows use epoch arithmetic).
+    Also registers each table as a temp view ``<name>`` for the SQL entry
+    point (SURVEY §3.2).
+    """
+    configure(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        out[name] = df
+        df.createOrReplaceTempView(name)
+    return out
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """SQL entry point: register fixture views, run one statement."""
+    load_tables(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 scan/sink operator keys
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50.0
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan incl. the ns-timestamp normalization, with a pushed
+    filter + pruned columns (Catalyst pushes both into the scan)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.where((F.col("event_type") == "purchase") & (F.col("value") > 50.0)).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+
+@query("scan_csv_schema")
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with explicit schema — the reference's extract format: periodic
+    delimited flat-file dumps with config-supplied schemas, never inferred.
+
+    Round-trips ``region`` through a temp CSV dir to prove the path;
+    rows-only oracle (the CSV file is engine-created, not a fixture).
+    """
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="engine_csv_") as d:
+        path = os.path.join(d, "region_csv")
+        t["region"].select("r_regionkey", "r_name").write.mode("overwrite").option(
+            "header", "false"
+        ).csv(path)
+        df = spark.read.schema(_CSV_SCHEMA).csv(path)
+        # Materialize before the temp dir vanishes: localCheckpoint keeps it
+        # distributed (no driver collect) while cutting the file lineage.
+        return df.orderBy("r_regionkey").localCheckpoint(eager=True)
+
+
+@query("scan_json_lines")
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with schema inference (rows-only oracle)."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="engine_json_") as d:
+        path = os.path.join(d, "nation_json")
+        t["nation"].write.mode("overwrite").json(path)
+        df = spark.read.json(path)
+        return (
+            df.select("n_nationkey", "n_regionkey", "n_name")
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+
+
+@query("sink_partitioned_parquet")
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a snapshot partitioned by a column, read it back (rows-only).
+
+    This is the reference's persisted current-state layout; partitioning by
+    a low-cardinality column gives partition pruning on read at 100 TB.
+    """
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="engine_sink_") as d:
+        path = os.path.join(d, "orders_by_status")
+        t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        back = spark.read.parquet(path)
+        # Partition-pruned read: only the 'O' directory is scanned.
+        return (
+            back.where(F.col("o_orderstatus") == "O")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )

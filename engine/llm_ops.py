@@ -1,0 +1,482 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10 + north-star additions):
+dedup (exact + MinHash-LSH), text statistics/quality/language-ID, tf-idf,
+keyword search, embedding normalization / centroids / similarity.
+
+Scale doctrine: everything is expressed as explode → groupBy → join over
+built-in functions (JVM-side); the only candidate-pair generation happens
+INSIDE LSH buckets (never all-pairs); small sides (centroids, query sets,
+keyword lists) broadcast. The naive O(n²) routes exist only where the
+build side is provably tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT content_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc
+    FROM (SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM documents)
+    GROUP BY content_hash
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash; keeper = min doc_id.
+    Hash-groupBy is the 100 TB shape: the shuffle carries 32-byte digests,
+    never document bodies."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.withColumn("content_hash", F.sha2(F.lower(F.trim("text")), 256))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc"))
+    )
+
+
+#: MinHash-LSH parameters: 16 hash functions in 4 bands of 4 rows.
+_N_HASHES = 16
+_BAND_ROWS = 4
+
+
+def _shingles(col: str = "text"):
+    """Distinct 3-token shingles. expr() because slice() needs a dynamic
+    start index (lambda var), which the Python DSL can't express."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split({col}, ' ')) - 2, 1)),"
+        f" i -> concat_ws(' ', slice(split({col}, ' '), i, 3))))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, seed, minhash): seeded hash families via xxhash64(shingle, seed)
+    — deterministic, no RNG (SURVEY §4)."""
+    sh = docs.select(id_col, F.explode(_shingles()).alias("shingle"))
+    seeded = sh.select(
+        id_col,
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed"),
+    )
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(F.xxhash64("shingle", "seed")).alias("mh")
+    )
+
+
+def lsh_band_buckets(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_sig): concatenate each band's r minhashes into one
+    bucket key. Docs sharing any (band, band_sig) are candidates."""
+    banded = sigs.withColumn("band", F.expr(f"seed div {_BAND_ROWS}"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            )
+        ).alias("band_sig")
+    )
+
+
+@query("llm_near_dedup_minhash")
+def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via shingle → MinHash → banded LSH,
+    then verified with TRUE shingle-Jaccard (self-validating; rows-only —
+    no DuckDB twin). Candidate generation is per-bucket, so cost scales
+    with bucket sizes, not n² — the 100 TB path. At cluster scale add a
+    salt to giant buckets before the self-join."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    buckets = lsh_band_buckets(minhash_signatures(d))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    # verify candidates with exact shingle Jaccard (candidate set is tiny)
+    sh = d.select("doc_id", _shingles().alias("sh"))
+    cand = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return cand
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS mean_chars,
+           sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS n_empty,
+           sum(CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (doc_id 0 is an empty doc — the
+    fixture edge case; token count must treat it as 0, not 1)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ntok = F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " ")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@query(
+    "llm_tf_top_terms",
+    oracle="""
+    SELECT lang, token, n, rn FROM (
+      SELECT lang, token, count(*) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE text <> '')
+      GROUP BY lang, token
+    ) WHERE rn <= 10
+    """,
+)
+def llm_tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language by frequency (token tie-break)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        d.where(F.col("text") != "")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return tf.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents WHERE text <> ''),
+         tf   AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         df   AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         n    AS (SELECT count(*) AS n FROM documents WHERE text <> '')
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf: two aggregations + a broadcast join on the term dimension
+    (vocabulary ≪ corpus, so df broadcasts even at 100 TB)."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.select(F.count("*").alias("n"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_keyword_search",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, 'spark|data|hash')) AS INT) AS n_matches
+    FROM documents
+    WHERE len(regexp_extract_all(text, 'spark|data|hash')) > 0
+    """,
+)
+def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword/regex search ranked by match count (regexp_count)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n = F.regexp_count("text", F.lit("spark|data|hash"))
+    return (
+        d.select("doc_id", "lang", n.alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + a BPE-ish regex segmentation
+    (letters / digits / other runs) — the pre-tokenizer shape used for
+    LLM corpus budgeting."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " "))).alias(
+            "ws_tokens"
+        ),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           round(least(n_chars / 500.0, 1.0), 6) AS len_score,
+           round(CASE WHEN text = '' THEN 0.0 ELSE
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) END, 6) AS uniq_ratio,
+           round(CASE WHEN text = '' THEN 0.0 ELSE
+             CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+               / len(string_split(text, ' ')) END, 6) AS stop_ratio,
+           round(0.5 * least(n_chars / 500.0, 1.0)
+               + 0.3 * (CASE WHEN text = '' THEN 0.0 ELSE
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) END)
+               + 0.2 * (1.0 - CASE WHEN text = '' THEN 1.0 ELSE
+                   CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+                     / len(string_split(text, ' ')) END), 6) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, token-uniqueness and stopword
+    ratios combined into one score — the classic pre-training filter."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    ntok = F.size(toks).cast("double")
+    empty = F.col("text") == ""
+    len_score = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    uniq = F.when(empty, 0.0).otherwise(F.size(F.array_distinct(toks)) / ntok)
+    stop = F.when(empty, 0.0).otherwise(
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of"))) / ntok
+    )
+    stop_for_quality = F.when(empty, 1.0).otherwise(
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of"))) / ntok
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(0.5 * len_score + 0.3 * uniq + 0.2 * (1.0 - stop_for_quality), 6).alias(
+            "quality"
+        ),
+    )
+
+
+@query("llm_lang_id")
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-bigram profile (rows-only oracle).
+
+    Two distributed passes: (1) learn top-20 bigrams per language from the
+    corpus itself, (2) score each doc against each profile via a broadcast
+    join of its distinct bigrams, argmax with lang tie-break. The fixture's
+    languages share one vocabulary, so accuracy is chance — the key tests
+    the pipeline (profile build → broadcast score → argmax), which is the
+    real LID shape at corpus scale."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    bigrams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text)-1, 1)), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    prof_w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bg")
+    profiles = (
+        bigrams.groupBy(F.col("lang").alias("p_lang"), "bg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("p_lang").orderBy(F.col("n").desc(), "bg")))
+        .where(F.col("rn") <= 20)
+        .select("p_lang", "bg")
+    )
+    doc_bg = bigrams.select("doc_id", "lang", "bg").distinct()
+    scores = (
+        doc_bg.join(F.broadcast(profiles), "bg")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "p_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("pred_lang"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+
+def _norm2(col: str = "embedding"):
+    dbl = F.transform(col, lambda x: x.cast("double"))
+    return F.aggregate(F.zip_with(dbl, dbl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+@query(
+    "llm_embed_norm",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> round(CAST(x AS DOUBLE) / sqrt(nsq), 5)) AS unit
+    FROM (SELECT vec_id, embedding,
+                 list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+          FROM embeddings)
+    """,
+)
+def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embedding vectors with higher-order functions — pure
+    JVM codegen, no Python crossing. float32 → double BEFORE any math
+    (DuckDB promotes, so must we); 5dp terminal rounding (SURVEY §5.3)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    norm = F.sqrt(_norm2())
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") / norm, 5)).alias("unit"),
+    )
+
+
+@query(
+    "llm_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+    ), avgs AS (
+      SELECT label, pos, round(avg(val), 5) AS a FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(a ORDER BY pos) AS centroid FROM avgs GROUP BY label
+    """,
+)
+def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via posexplode → (label, pos) avg →
+    ordered re-collect. This is the 100 TB shape: the shuffle keys are
+    (label × dim) — tiny and perfectly balanced — versus a whole-vector
+    UDAF that would buffer vectors per group."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    avgs = ex.groupBy("label", "pos").agg(F.round(F.avg(F.col("val").cast("double")), 5).alias("a"))
+    return (
+        avgs.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+            ).alias("centroid")
+        )
+    )
+
+
+@query("llm_cosine_topk")
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest centroid per vector by cosine (rows-only; DuckDB 1.0 lacks
+    stable list-cosine). Brute force against a BROADCAST small side (10
+    centroids) — the baseline ANN path; the LSH-bucketed variant is
+    llm_ann_lsh. Self-validating: cos ∈ [-1, 1] asserted in-query."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    # unrounded centroids, rebuilt inline (llm_centroids rounds for its oracle)
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    avgs = ex.groupBy("label", "pos").agg(F.avg(F.col("val").cast("double")).alias("a"))
+    cents = avgs.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]).alias(
+            "centroid"
+        )
+    ).select(F.col("label").alias("c_label"), "centroid")
+
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dbl, F.col("centroid"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with("centroid", "centroid", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos", dot / (F.sqrt(_norm2()) * cnorm))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("nearest_label"),
+            F.round("cos", 6).alias("cos"),
+            ((F.col("cos") <= 1.000001) & (F.col("cos") >= -1.000001)).alias("cos_in_range"),
+        )
+    )
+
+
+@query(
+    "llm_multimodal_project",
+    oracle="""
+    SELECT d.doc_id,
+           struct_pack(lang := d.lang, n_chars := d.n_chars) AS meta,
+           round(CAST(e.embedding[1] AS DOUBLE), 5) AS e0
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+    """,
+)
+def llm_multimodal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row shape: typed metadata struct + vector payload in one
+    row; project/filter through nested fields. Binary media columns follow
+    the same pattern (see engine/udf.py::udf_multimodal_decode)."""
+    t = load_tables(spark, sf_dir)
+    j = t["documents"].join(
+        t["embeddings"], F.col("doc_id") == F.col("vec_id")
+    ).where(F.col("lang") == "en")
+    return j.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("e0"),
+    )

@@ -1,0 +1,1219 @@
+"""Relational operators: projection/filter, joins, aggregation, windows,
+sort/limit/set ops (SURVEY.md §2.3–§2.7).
+
+Everything here is declarative DataFrame API — Catalyst supplies predicate
+pushdown, column pruning, join selection (broadcast vs shuffle), two-phase
+partial/final aggregation, TakeOrderedAndProject for top-k, and AQE runtime
+re-planning. Scale posture per operator is noted in its docstring.
+
+Determinism (SURVEY §5.3): every float terminal is rounded in-query on BOTH
+engines; every window/rank order carries a unique tie-breaker; no wall
+clock; timestamps are µs-truncated UTC (engine.io normalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+# ---------------------------------------------------------------------------
+# §2.3 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "proj_select_alias",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_u,
+           c_mktsegment AS segment,
+           round(c_acctbal * 1.1, 4) AS bal_up
+    FROM customer
+    """,
+)
+def proj_select_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + rename + computed columns. The scan reads only the
+    four referenced columns (check ReadSchema in explain)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 1.1, 4).alias("bal_up"),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_totalprice > 100000 AND o_orderstatus = 'O')
+       OR (NOT o_orderstatus = 'O' AND o_totalprice < 2000)
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT + comparisons, pushed to the parquet scan."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.where(
+        ((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O"))
+        | (~(F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 2000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "filter_in_between_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_size BETWEEN 10 AND 40
+      AND p_name LIKE '%widget%'
+      AND regexp_matches(p_type, '^(PROMO|ECONOMY)')
+    """,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin / between / like / rlike."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.where(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+        & F.col("p_size").between(10, 40)
+        & F.col("p_name").like("%widget%")
+        & F.col("p_type").rlike("^(PROMO|ECONOMY)")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS status_np,
+             nullif(o_orderpriority, '5-LOW') AS pri_nl
+      FROM orders
+    )
+    SELECT o_orderkey, status_np, pri_nl,
+           (status_np IS NULL) AS status_is_null,
+           (status_np IS NOT DISTINCT FROM pri_nl) AS null_safe_eq
+    FROM t
+    WHERE status_np IS NULL OR pri_nl IS NOT NULL
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL and null-safe equality (<=> / IS NOT DISTINCT FROM).
+    Fixtures have no natural nulls, so nullable columns are derived."""
+    o = load_tables(spark, sf_dir)["orders"]
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pri_nl"),
+    )
+    return t.select(
+        "o_orderkey",
+        "status_np",
+        "pri_nl",
+        F.col("status_np").isNull().alias("status_is_null"),
+        F.col("status_np").eqNullSafe(F.col("pri_nl")).alias("null_safe_eq"),
+    ).where(F.col("status_np").isNull() | F.col("pri_nl").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; AQE picks broadcast vs sort-merge by actual size.
+    At 100 TB orders⋈customer shuffles on the key — customer is the small
+    side and AQE converts to broadcast when it fits the threshold."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_totalprice") > 400000)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dims: nation (25 rows) and region
+    (5 rows) replicate to every executor — zero shuffle of the fact side
+    regardless of its size. This is THE pattern for dim joins at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_sortmerge",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND l.l_quantity >= 49
+    """,
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle sort-merge join forced via hint — the right strategy when
+    BOTH sides are large (lineitem⋈orders at 100 TB): each side shuffles
+    once on the key, merges sorted runs, never materializes a hash table."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_quantity") >= 49)
+        .hint("merge")
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_orderdate")
+    )
+
+
+def _cust_order_totals(t):
+    """customer LEFT-side fixture: per-customer order revenue (some
+    customers have no orders → natural nulls for outer-join tests)."""
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    return per_cust
+
+
+_OUTER_ORACLE = """
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment, p.n_orders, p.revenue
+    FROM customer c {jt} JOIN per_cust p ON c.c_custkey = p.o_custkey
+"""
+
+
+@query("join_left", oracle=_OUTER_ORACLE.format(jt="LEFT"))
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with unmatched-null semantics."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(_cust_order_totals(t), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", "c_mktsegment", "n_orders", "revenue")
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment, p.n_orders, p.revenue
+    FROM per_cust p RIGHT JOIN customer c ON c.c_custkey = p.o_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of join_left through the other side)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        _cust_order_totals(t)
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"), "right")
+        .select("c_custkey", "c_mktsegment", "n_orders", "revenue")
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH prev AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+         curr AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT coalesce(p.o_orderkey, c.o_orderkey) AS okey,
+           p.o_totalprice AS prev_price, c.o_totalprice AS curr_price
+    FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on overlapping key sets (the CDC diff join shape)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    prev = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("pk"), F.col("o_totalprice").alias("prev_price")
+    )
+    curr = o.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ck"), F.col("o_totalprice").alias("curr_price")
+    )
+    return prev.join(curr, F.col("pk") == F.col("ck"), "full_outer").select(
+        F.coalesce("pk", "ck").alias("okey"), "prev_price", "curr_price"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — existence filter, emits left columns only and
+    short-circuits on first match (no row multiplication)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].where(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — absence filter; the CDC delete-detection shape."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product, deliberately small×small (5 × 25)."""
+    t = load_tables(spark, sf_dir)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    WITH sizes AS (SELECT DISTINCT p_size FROM part)
+    SELECT s.p_size, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 4) AS total_price
+    FROM sizes s JOIN lineitem l
+      ON l.l_quantity >= s.p_size - 2 AND l.l_quantity <= s.p_size + 2
+    GROUP BY s.p_size
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (band) join → BroadcastNestedLoopJoin. The streamed
+    side stays partition-parallel; the 50-row band table broadcasts. At
+    100 TB you'd bucketize the range into an equi key first — this key
+    demonstrates the raw theta path on a deliberately tiny build side."""
+    t = load_tables(spark, sf_dir)
+    sizes = t["part"].select("p_size").distinct()
+    li = t["lineitem"]
+    return (
+        li.join(
+            F.broadcast(sizes),
+            (F.col("l_quantity") >= F.col("p_size") - 2)
+            & (F.col("l_quantity") <= F.col("p_size") + 2),
+        )
+        .groupBy("p_size")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+             CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS c_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, kind,
+             last_value(c_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_ts
+      FROM ev
+    )
+    SELECT event_id, user_id, ts, last_click_ts FROM w WHERE kind = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user at
+    or before the purchase time.
+
+    Spark has no native ASOF, so we use the union+window formulation: tag
+    both streams, sort once per user, carry the last non-null click ts
+    forward. One shuffle, O(n log n), no row-pair blow-up — this is the
+    100 TB-safe shape (the naive inequality join is quadratic in events per
+    user). Alternative for pandas users: ``applyInPandas`` per user_id with
+    ``pd.merge_asof`` — same partitioning, imperative core.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    ev = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("last_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, count(*) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join: pairs of 1-hour purchase intervals per user that
+    overlap. Equi on user_id keeps it a hash join with a residual range
+    predicate — the pair blow-up is bounded per user key, and skewed users
+    are split by AQE skew-join handling."""
+    ev = load_tables(spark, sf_dir)["events"]
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e")
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_overlaps"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (TPC-H Q1 shape, adapted to the reduced fixture columns).
+
+    scan → pushed filter → project → two-phase hash agg (partial map-side,
+    final after a 6-group shuffle) → tiny result. The shuffle carries only
+    6 groups × partial states — this plan is flat-scalable: at 100 TB the
+    cost is the scan, which prunes to 7 columns.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP #2 (TPC-H Q5 shape): 6-table join → groupBy nation.
+
+    Join order matters at scale: filter orders by date FIRST (pushdown),
+    join the two fact tables with a shuffle join, and broadcast every
+    dimension (supplier/nation/region/customer-side dims). Catalyst + AQE
+    reorder and broadcast automatically; the explicit broadcasts pin the
+    dims that are always small."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — Spark expands to a two-level aggregate (distinct
+    keys first, then count), both phases partial+final."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct vs exact, bounds-checked in-query
+    (rows-only oracle: the sketch estimate has no DuckDB twin). At 100 TB
+    the approx path avoids the exact-distinct double shuffle entirely."""
+    ev = load_tables(spark, sf_dir)["events"]
+    df = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return df.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS hi_disc_price,
+           count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           round(sum(CASE WHEN l_tax = 0 THEN l_extendedprice ELSE 0 END), 2) AS notax_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate predicates: FILTER(WHERE) ≡ sum(when(cond, x))."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("hi_disc_price"),
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("notax_price"),
+    )
+
+
+_GSETS_ORACLE = """
+    SELECT c_mktsegment, n_name,
+           GROUPING(c_mktsegment) AS g_seg, GROUPING(n_name) AS g_nat,
+           count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with explicit grouping() flags (flags, not grouping_id,
+    because Spark and DuckDB disagree on bit order)."""
+    t = load_tables(spark, sf_dir)
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    joined.createOrReplaceTempView("_gs_cust_nation")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+               CAST(grouping(n_name) AS INT) AS g_nat,
+               count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        FROM _gs_cust_nation
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
+           count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (region, nation) → (region) → ()."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           GROUPING(c_mktsegment) AS g_seg, GROUPING(o_orderstatus) AS g_st,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lattice of subtotals over two dimensions."""
+    t = load_tables(spark, sf_dir)
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return j.cube("c_mktsegment", "o_orderstatus").agg(
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 1000000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .where((F.col("n_orders") >= 15) & (F.col("_raw") > 1000000))
+        .drop("_raw")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6)    AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates on small-magnitude columns (rounding at 6dp
+    survives cross-engine summation-order noise)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark F.percentile ≡ DuckDB
+    quantile_cont). At 100 TB switch to approx_percentile — exact
+    percentile materializes the group."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list sorted for determinism (collection order is otherwise
+    partition-dependent)."""
+    n = load_tables(spark, sf_dir)["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "agg_first_last_ordered",
+    oracle="""
+    SELECT event_type,
+           arg_min(event_id, ts) AS first_event,
+           arg_max(event_id, ts) AS last_event,
+           arg_max(user_id, value) AS top_value_user
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by ≡ arg_min/arg_max. ts is unique in the fixture
+    (verified at sf0.01 and sf0.1) so ties cannot occur on it; the value
+    tie-break risk on arg_max(user_id, value) is accepted for the fixture
+    (values are 2dp-random over 49k distinct)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.max_by("event_id", "ts").alias("last_event"),
+        F.max_by("user_id", "value").alias("top_value_user"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never let pivot() infer values
+    at scale (that's an extra distinct pass over 100 TB)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "purchase", "error", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "purchase", "error", "signup", "view"])
+    )
+
+
+@query(
+    "agg_partial_final",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstrates Spark's automatic two-phase aggregation: even after an
+    adversarial repartition (all rows shuffled to non-aligned partitions),
+    the plan still shows partial_... then final aggregation — map-side
+    combine is free and automatic, exactly what you want at 100 TB."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.repartition(16, "l_orderkey")  # deliberately NOT the group key
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window functions
+# ---------------------------------------------------------------------------
+
+
+def _cust_revenue(t):
+    """Per-customer revenue with segment, revenue rounded BEFORE ranking so
+    both engines rank identical doubles (tie structure must match)."""
+    rev = t["orders"].groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    return t["customer"].join(
+        rev, F.col("c_custkey") == F.col("o_custkey"), "inner"
+    ).select("c_custkey", "c_mktsegment", "revenue")
+
+
+_CUST_REV_SQL = """
+      SELECT c_custkey, c_mktsegment, revenue
+      FROM customer c
+      JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey) r
+        ON c.c_custkey = r.o_custkey
+"""
+
+
+@query(
+    "win_ranking",
+    oracle=f"""
+    WITH cr AS ({_CUST_REV_SQL})
+    SELECT c_custkey, c_mktsegment, revenue,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM cr
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ranking functions over one window; unique tie-breaker c_custkey
+    makes every rank deterministic across engines."""
+    cr = _cust_revenue(load_tables(spark, sf_dir))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return cr.select(
+        "c_custkey",
+        "c_mktsegment",
+        "revenue",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle=f"""
+    WITH cr AS ({_CUST_REV_SQL})
+    SELECT c_mktsegment, c_custkey, revenue, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey) AS rn
+      FROM cr
+    ) WHERE rn <= 5
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers per segment. Catalyst rewrites rank-filter to a
+    per-partition top-k (WindowGroupLimit) — no full sort of each group."""
+    cr = _cust_revenue(load_tables(spark, sf_dir))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        cr.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "revenue", "rn")
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           lag(epoch_us(CAST(ts AS TIMESTAMP)))  OVER w AS prev_us,
+           lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS next_us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time; gaps computed on µs longs (exact
+    integer arithmetic, no float drift)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag(us).over(w).alias("prev_us"),
+        F.lead(us).over(w).alias("next_us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_revenue
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer in order-date order."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_revenue"),
+    )
+
+
+@query(
+    "win_moving_avg_rows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM orders
+    """,
+)
+def win_moving_avg_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row trailing moving average."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, d,
+           count(*) OVER w AS n_7d,
+           round(sum(o_totalprice) OVER w, 4) AS rev_7d
+    FROM (SELECT *, date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over day offsets: all of a customer's orders in the
+    trailing 7 days (value-based, peers included — unlike ROWS)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    o = o.withColumn(
+        "d", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-7, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_7d"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag → new-session flag → running sum
+    as session id → per-session rollup. One shuffle on user_id serves both
+    the window and the final aggregation (same partitioning reused)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select("user_id", "ts", "event_id", us.alias("us")).withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wcum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sort / limit / distinct / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT row_number() OVER (
+             ORDER BY nullif(o_orderstatus, 'P') DESC NULLS LAST,
+                      o_totalprice DESC, o_orderkey) AS rn,
+           o_orderkey, nullif(o_orderstatus, 'P') AS status_np, o_totalprice
+    FROM orders
+    ORDER BY rn LIMIT 100
+    """,
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with NULLS LAST; the order is itself the tested value
+    so it's materialized as a row_number column (the oracle hash is
+    order-insensitive). Global row_number = single-partition window — fine
+    for a top-100, never for a full 100 TB sort (use zorder/sortWithinPartitions there)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        "o_totalprice",
+    )
+    w = Window.orderBy(
+        F.col("status_np").desc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.withColumn("rn", F.row_number().over(w)).orderBy("rn").limit(100)
+
+
+@query(
+    "limit_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — each partition
+    keeps its local top-10, driver merges. O(n) scan, no global sort."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT = groupBy-all-columns; partial dedup map-side."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey AS k, 'hi' AS src FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey AS k, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates preserved) — zero shuffle, partitions concat."""
+    o = load_tables(spark, sf_dir)["orders"]
+    hi = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderkey").alias("k"), F.lit("hi").alias("src")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.lit("urgent").alias("src")
+    )
+    return hi.union(urgent)
+
+
+@query(
+    "set_union_byname",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, NULL AS s_nationkey FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS id, s_name AS name, s_acctbal AS bal, s_nationkey FROM supplier
+    """,
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-resolved union with missing-column null fill."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL multiplicity semantics)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.exceptAll(p)

@@ -1,0 +1,378 @@
+"""Structured Streaming surface (SURVEY.md §2.9) — the north-star core:
+CDC processing is exactly what Structured Streaming is designed for.
+
+Every key runs a finite file-source stream with ``trigger(availableNow)``
+so results are checkable; the oracle is the batch-equivalent query —
+precisely the guarantee Structured Streaming makes (streaming result ≡
+batch result on the same data; Armbrust et al., SIGMOD 2018).
+
+Mechanics shared by all keys:
+- Input: the normalized ``events`` table written once per (session,
+  sf_dir) to a temp dir as FOUR time-ordered parquet files; with
+  ``maxFilesPerTrigger=1`` this yields four genuine micro-batches.
+- State: aggregations use complete/update mode into a memory sink; the
+  CDC pipeline maintains a versioned parquet snapshot under
+  ``foreachBatch`` with an ORDER-INDEPENDENT idempotent merge (max-ts
+  wins), so at-least-once batch delivery and file reordering cannot
+  corrupt the snapshot — the exactly-once posture from SURVEY §4.
+- At scale: the same code reads a real feed (Kafka/files) with watermarks
+  bounding state; state stores shard by group key across executors.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.cdc import dedup_extract
+from engine.io import load_tables
+from engine.registry import query
+
+_uid = itertools.count()
+_stream_input_cache: dict[tuple[int, str], str] = {}
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write normalized events as 4 time-ordered parquet files (cached per
+    session+sf_dir). Files are written sequentially so modification-time
+    order == event-time order (micro-batch simulation)."""
+    key = (id(spark), sf_dir)
+    if key in _stream_input_cache and os.path.isdir(_stream_input_cache[key]):
+        return _stream_input_cache[key]
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="engine_stream_in_")
+    bounds = ev.select(
+        F.percentile("ts_ns", 0.25).alias("q1"),
+        F.percentile("ts_ns", 0.5).alias("q2"),
+        F.percentile("ts_ns", 0.75).alias("q3"),
+    ).collect()[0]
+    cuts = [float("-inf"), bounds.q1, bounds.q2, bounds.q3, float("inf")]
+    for i in range(4):
+        part = ev.where(
+            (F.col("ts_ns") > F.lit(cuts[i])) & (F.col("ts_ns") <= F.lit(cuts[i + 1]))
+            if i > 0
+            else (F.col("ts_ns") <= F.lit(cuts[1]))
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        time.sleep(0.05)  # distinct mtimes → deterministic batch order
+    _stream_input_cache[key] = base
+    return base
+
+
+def _read_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None) -> DataFrame:
+    d = _events_stream_dir(spark, sf_dir)
+    schema = load_tables(spark, sf_dir)["events"].schema
+    r = spark.readStream.schema(schema)
+    if max_files:
+        r = r.option("maxFilesPerTrigger", max_files)
+    return r.option("recursiveFileLookup", "true").parquet(d)
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run an availableNow stream into a memory sink; return final table."""
+    name = f"memsink_{next(_uid)}"
+    with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "source_stream_files",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based readStream over the events feed; streamed counts/sums per
+    type must equal the batch query (§2.2 source key). NB exact distinct is
+    unsupported on streams — use approx_count_distinct there."""
+    s = _read_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("tv")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select("event_type", "n", F.round("tv", 4).alias("total_value"))
+
+
+@query(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-hour tumbling window (complete mode — final
+    state ≡ batch)."""
+    s = _read_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").count()
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("ws"), "event_type", F.col("count").alias("n")
+    )
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH offs AS (SELECT unnest(generate_series(0, 3)) AS k)
+    SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+             - k * INTERVAL 15 MINUTE AS ws,
+           round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events, offs
+    GROUP BY 1
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in 4 windows."""
+    s = _read_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.avg("value").alias("avg_raw"), F.count("*").alias("n")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("ws"),
+        F.round("avg_raw", 6).alias("avg_value"),
+        "n",
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap). session_window end = last
+    event + gap, matching the lag-based batch formulation exactly."""
+    s = _read_stream(spark, sf_dir)
+    agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").count()
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.col("count").alias("n_events"),
+    )
+
+
+@query("stream_watermark_late")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour watermark with an injected late row (rows-only oracle; the
+    assertion lives in tests/test_streaming.py).
+
+    Batch 0 carries all real events; batch 1 is a buffer row at max ts
+    (Spark applies an advanced watermark with a one-batch delay — verified
+    empirically: without the buffer, the late row in the very next batch
+    still merges); batch 2 carries one fabricated row whose ts predates
+    the now-effective watermark by weeks. It must be dropped
+    (numRowsDroppedByWatermark) and its user_id=-1 must NOT reach the
+    sink. Output = finalized windows + the in-query late_row_absent flag."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="engine_late_")
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "b0"))
+    time.sleep(0.05)
+
+    def one_row(order_col, user_id):
+        return (
+            ev.orderBy(order_col)
+            .limit(1)
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(user_id).cast("long").alias("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+                F.col("ts"),
+                F.col("ts_ns"),
+            )
+            .select(*[f.name for f in ev.schema.fields])
+        )
+
+    # buffer batch at max ts: makes the advanced watermark effective
+    one_row(F.col("ts").desc(), 999_999).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "b1")
+    )
+    time.sleep(0.05)
+    # the late row: earliest ts, weeks behind the watermark
+    one_row(F.col("ts").asc(), -1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "b2")
+    )
+    time.sleep(0.05)
+
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    # watermarks require TimestampType; session tz is UTC so NTZ→TZ is identity
+    s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.min("user_id").alias("min_user"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("window.start").alias("ws"), "n", "min_user",
+        (F.col("min_user") >= 0).alias("late_row_absent"),
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates within a watermark over a feed that
+    delivers every event twice (duplicated input files) — the dedup state
+    must emit each event_id exactly once ≡ batch DISTINCT."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = tempfile.mkdtemp(prefix="engine_dup_")
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "b0"))
+    time.sleep(0.05)
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "b1"))
+    s = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    dedup = (
+        s.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(dedup, "append")
+
+
+@query(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregate in UPDATE mode (state store). The memory
+    sink accumulates every per-batch update; counts and positive-value
+    sums grow monotonically, so max() per user recovers the final state
+    ≡ batch aggregate."""
+    s = _read_stream(spark, sf_dir, max_files=1)
+    agg = s.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("tv")
+    )
+    out = _run_to_memory(agg, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("tv"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS nation
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension: the static side is planned per
+    micro-batch (broadcast — 25 rows), no stream-stream state needed."""
+    t = load_tables(spark, sf_dir)
+    s = _read_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    j = s.join(
+        F.broadcast(t["nation"]), s["user_id"] % 25 == F.col("n_nationkey")
+    ).select("event_id", "user_id", F.col("n_name").alias("nation"))
+    return _run_to_memory(j, "append")
+
+
+@query(
+    "stream_cdc_pipeline",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORTH-STAR FLAGSHIP: events as a CDC feed → foreachBatch →
+    idempotent merge → current-state snapshot.
+
+    Each micro-batch merges into a versioned parquet snapshot with
+    latest-per-key (max ts, event_id tie-break) semantics. The merge is
+    ORDER-INDEPENDENT and IDEMPOTENT: replayed or reordered batches yield
+    the same snapshot — at-least-once delivery becomes exactly-once state
+    (SURVEY §4). Final snapshot ≡ batch latest-per-key over all events.
+    """
+    snap_dir = tempfile.mkdtemp(prefix="engine_cdc_snap_")
+    cols = ["user_id", "event_id", "ts", "value"]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        versions = sorted(
+            (d for d in os.listdir(snap_dir) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        )
+        incoming = batch_df.select(*cols)
+        if versions:
+            prev = sp.read.parquet(os.path.join(snap_dir, versions[-1]))
+            incoming = prev.unionByName(incoming)
+        new_snap = dedup_extract(incoming, ["user_id"], "ts", "event_id")
+        new_snap.write.mode("overwrite").parquet(os.path.join(snap_dir, f"v{batch_id}"))
+
+    s = _read_stream(spark, sf_dir, max_files=1)
+    with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    versions = sorted(
+        (d for d in os.listdir(snap_dir) if d.startswith("v")), key=lambda d: int(d[1:])
+    )
+    final = spark.read.parquet(os.path.join(snap_dir, versions[-1]))
+    return final.select(*cols).localCheckpoint(eager=True)

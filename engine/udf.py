@@ -1,0 +1,188 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11) + multimodal stub plumbing.
+
+UDFs are the engine's explicitly-slow path: everything that CAN be a
+built-in function lives elsewhere; this module demonstrates the four
+extension points with their correct scale posture:
+
+- plain Python UDF — row-at-a-time, pickled; ONLY for tiny/irregular logic
+- pandas UDF — Arrow-batched, vectorized; ~10-100× the plain UDF
+- applyInPandas — grouped UDAF with whole-group pandas semantics
+- UDTF — table function (one row → many rows)
+- mapInPandas — streaming Arrow batches; the multimodal decode shape
+
+Multimodal columns: media is an opaque ``binary`` column + typed metadata
+struct; decode/feature-extract runs as mapInPandas. The actual codec is
+STUBBED (no image/audio libs in this container) with a deterministic fake
+documented inline — the Spark-side plumbing (schema, batching, partition
+flow) is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine.io import load_tables
+from engine.registry import query
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT p_partkey,
+           lower(replace(p_name, ' ', '-')) || '/' || CAST(p_size AS VARCHAR) AS slug
+    FROM part
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Python UDF (slug builder), also registered for SQL use. The
+    oracle mirrors the logic in SQL — proving UDF output, not the SQL."""
+
+    def slug(name: str, size: int) -> str:
+        return f"{name.lower().replace(' ', '-')}/{size}"
+
+    slug_udf = F.udf(slug, T.StringType())
+    spark.udf.register("engine_slug", slug_udf)
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select("p_partkey", slug_udf("p_name", "p_size").alias("slug"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: L2 norm via numpy over Arrow batches — the
+    fast path for per-row vector math that HOFs can't express cleanly.
+    (This one CAN be a HOF — see llm_embed_norm — the key demonstrates the
+    pandas-UDF machinery gives the same answer.)"""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def l2_norm(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        return pd.Series(np.sqrt((m * m).sum(axis=1)))
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select("vec_id", F.round(l2_norm("embedding"), 5).alias("l2_norm"))
+
+
+@query("udf_grouped_agg")
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas UDAF via applyInPandas: 10%-trimmed mean of order
+    totals per status (rows-only: quantile interpolation details make a
+    cross-engine float oracle fragile; self-checked bounds instead).
+    Scale note: each group materializes in one python worker — fine for
+    bounded groups, never for unbounded keys (use built-ins then)."""
+
+    schema = "o_orderstatus string, trimmed_mean double, n_used long, bounds_ok boolean"
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        lo, hi = x.quantile(0.1), x.quantile(0.9)
+        kept = x[(x >= lo) & (x <= hi)]
+        tm = float(kept.mean())
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "trimmed_mean": [round(tm, 4)],
+                "n_used": [int(kept.size)],
+                "bounds_ok": [bool(x.min() <= tm <= x.max())],
+            }
+        )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").applyInPandas(trimmed, schema)
+
+
+@query("udf_table_udtf")
+def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: explode each document into fixed-size 10-token chunks
+    (sentence surrogate — the fixture text has no punctuation) with chunk
+    index and token count (rows-only oracle)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            if not text:
+                return
+            toks = text.split(" ")
+            for i in range(0, len(toks), 10):
+                chunk = toks[i : i + 10]
+                yield doc_id, i // 10, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("engine_chunker", Chunker)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT c.* FROM documents d, LATERAL engine_chunker(d.doc_id, d.text) c"
+    )
+
+
+_MM_FEATURE_DIM = 8
+
+
+@query("udf_multimodal_decode")
+def udf_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline over opaque binary media (rows-only).
+
+    Real Spark plumbing: binary payload column + typed metadata struct →
+    mapInPandas over Arrow batches → fixed-width feature vector + shape
+    metadata out. The codec itself is a STUB: this container has no
+    image/audio libraries, so ``_fake_decode`` derives a deterministic
+    8-float "feature vector" from the payload bytes (documented fake, not
+    a real decoder — swap in PIL/torchaudio in eval() for production).
+    Batch shape, schema, and partition flow are the real thing.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    media = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),  # opaque binary stand-in
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").cast("int").alias("size_bytes"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload_len", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].apply(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].apply(lambda m: m["mime"]),
+                    "payload_len": pdf["payload"].apply(len).astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, out_schema)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB decoder: deterministic bytes → 8 floats. NOT a real codec —
+    stands in for image/audio decode so the pipeline is testable here."""
+    import hashlib
+
+    h = hashlib.sha256(bytes(payload)).digest()
+    return [round(b / 255.0, 6) for b in h[:_MM_FEATURE_DIM]]
