@@ -98,8 +98,13 @@ def snapshot_diff(prev: DataFrame, curr: DataFrame, spec: SourceSpec) -> DataFra
         .when(F.col("nonkey_hash") != F.col("p_nonkey_hash"), F.lit("U"))
         .otherwise(F.lit("N"))
     )
+    # D rows take prev's values; every other op takes curr's — NEVER
+    # coalesce(curr, prev) per column: that would back-fill a legitimate
+    # NULL in an updated row with the stale prev value (caught by the
+    # hypothesis replay property test).
+    is_d = F.col("key_hash").isNull()
     cols = [
-        F.coalesce(F.col(col), F.col(f"p_{col}")).alias(col)
+        F.when(is_d, F.col(f"p_{col}")).otherwise(F.col(col)).alias(col)
         for col in (*spec.key_cols, *spec.tracked_cols)
     ]
     return j.select(
@@ -180,8 +185,8 @@ _SQL_DIFF = f"""
     j AS (
       SELECT c.key_hash AS c_kh, p.key_hash AS p_kh,
              c.nonkey_hash AS c_nh, p.nonkey_hash AS p_nh,
-             coalesce(c.o_orderkey, p.o_orderkey) AS o_orderkey,
-             coalesce(c.o_totalprice, p.o_totalprice) AS o_totalprice
+             CASE WHEN c.key_hash IS NULL THEN p.o_orderkey ELSE c.o_orderkey END AS o_orderkey,
+             CASE WHEN c.key_hash IS NULL THEN p.o_totalprice ELSE c.o_totalprice END AS o_totalprice
       FROM c FULL OUTER JOIN p ON c.key_hash = p.key_hash
     )
     SELECT CASE WHEN p_kh IS NULL THEN 'I'

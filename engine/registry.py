@@ -46,6 +46,7 @@ def load_all() -> None:
         io,
         llm_ops,
         relational,
+        similarity,
         streaming,
         udf,
     )

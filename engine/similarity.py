@@ -1,0 +1,371 @@
+"""Similarity search & near-dup detection at scale (north-star additions
+beyond SURVEY §2.10's minhash: brute-force ANN baseline, hyperplane-LSH
+ANN, SimHash near-dup, n-gram Jaccard).
+
+Scale doctrine (the whole point of these keys):
+- Brute force exists ONLY as the verifiable baseline, and only with a
+  broadcast-able query set: cost = |queries| × |corpus|, linear in corpus.
+- The scale paths bucket first (hyperplane LSH signs, SimHash byte bands,
+  rare-shingle inverted index) and compare only within buckets — candidate
+  generation never goes O(n²) on the full corpus.
+- All hash families are deterministic (hash-seeded, SURVEY §4): the
+  hyperplanes are ±1 Rademacher vectors derived from md5, embedded as
+  LITERALS in both the Spark plan and the DuckDB oracle, so even the LSH
+  path is hash-match verified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+# ---------------------------------------------------------------------------
+# deterministic hyperplanes (±1 Rademacher), shared by Spark and oracle SQL
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane(p: int) -> list[float]:
+    """Plane p's components: sign of the first md5 byte of 'p:i'."""
+    out = []
+    for i in range(_DIM):
+        b = hashlib.md5(f"{p}:{i}".encode()).digest()[0]
+        out.append(1.0 if b & 1 else -1.0)
+    return out
+
+
+_PLANES = [_plane(p) for p in range(_N_PLANES)]
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _spark_bucket(emb_col: str):
+    """LSH bucket id: bit p = sign(e · plane_p)."""
+    e = _dbl(emb_col)
+    bucket = F.lit(0)
+    for p, plane in enumerate(_PLANES):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(_dot(e, plane_arr) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def _sql_plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+
+
+def _sql_bucket(emb: str) -> str:
+    terms = []
+    for p, plane in enumerate(_PLANES):
+        terms.append(
+            f"(CASE WHEN list_dot_product(list_transform({emb}, x -> CAST(x AS DOUBLE)),"
+            f" {_sql_plane_lit(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SQL_DDOT = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """Double-precision cosine in DuckDB (list_cosine_similarity is float32
+    internally — ~3e-8 off double math, measured — so the oracle mirrors
+    Spark's double-exact formulation instead)."""
+    return (
+        f"{_SQL_DDOT.format(a=a, b=b)} / "
+        f"sqrt({_SQL_DDOT.format(a=a, b=a)}) / sqrt({_SQL_DDOT.format(a=b, b=b)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_ann_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {_sql_cos('q.qe', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    )
+    SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def llm_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for a 20-vector query set — the exact
+    baseline every ANN variant is judged against. Query set broadcasts;
+    the corpus streams partition-parallel; per-partition top-k then global
+    top-k (WindowGroupLimit), so nothing materializes n×q rows at scale."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                _dot(_dbl("qe"), _dbl("embedding"))
+                / F.sqrt(_dot(_dbl("qe"), _dbl("qe")))
+                / F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
+@query(
+    "llm_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, x.vec_id AS id_b, a.bucket,
+             {_sql_cos('a.embedding', 'x.embedding')} AS cos
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    )
+    SELECT id_a, id_b, bucket, round(cos, 6) AS cos
+    FROM pairs WHERE cos >= 0.3
+    """,
+)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed similarity: 8 sign bits → 256 buckets;
+    exact cosine computed ONLY within buckets; emit pairs ≥ 0.3.
+
+    This is the 100 TB ANN shape: one pass to bucket (narrow shuffle on a
+    1-byte key), per-bucket self-join bounded by bucket size. Recall/cost
+    trades via plane count; at cluster scale, salt over-full buckets and
+    union multiple plane sets for recall. Fully hash-match verified — the
+    deterministic planes are embedded in both engines' plans."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    b = e.select("vec_id", "embedding", _spark_bucket("embedding").alias("bucket"))
+    a, x = b.alias("a"), b.alias("x")
+    pairs = a.join(
+        x,
+        (F.col("a.bucket") == F.col("x.bucket")) & (F.col("a.vec_id") < F.col("x.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("x.vec_id").alias("id_b"),
+        F.col("a.bucket").alias("bucket"),
+        (
+            _dot(_dbl("a.embedding"), _dbl("x.embedding"))
+            / F.sqrt(_dot(_dbl("a.embedding"), _dbl("a.embedding")))
+            / F.sqrt(_dot(_dbl("x.embedding"), _dbl("x.embedding")))
+        ).alias("cos"),
+    )
+    return pairs.where(F.col("cos") >= 0.3).select(
+        "id_a", "id_b", "bucket", F.round("cos", 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32
+
+#: bit j of a token = high bit of hex digit j of md5(token) — expressible
+#: identically in Spark and DuckDB (substring of md5 hex).
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+@query(
+    "llm_near_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text <> ''
+    ), bits AS (
+      SELECT doc_id, j.j,
+             sum(CASE WHEN substring(md5(tok), j.j + 1, 1) IN
+                 ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS w
+      FROM toks, (SELECT unnest(generate_series(0, {_SIM_BITS - 1})) AS j) j
+      GROUP BY doc_id, j.j
+    ), sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
+      FROM bits GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 8)) & 255 AS band_val
+      FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+             a.sig AS sig_a, x.sig AS sig_b
+      FROM banded a JOIN banded x
+        ON a.band = x.band AND a.band_val = x.band_val AND a.doc_id < x.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def llm_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature per doc (per-bit ±1 majority of
+    token hashes), byte-banded blocking (near-dups within hamming ≤ 3 must
+    share ≥1 of 4 bands — pigeonhole guarantees recall at h<4, probabilistic
+    above), exact hamming only on candidates.
+
+    The token→bit hash is the high bit of each md5 hex digit, chosen
+    because BOTH engines express it verbatim → full hash-match oracle.
+    Signature build is explode+groupBy (two narrow shuffles keyed by
+    (doc, bit)); no UDFs, no n² — the 100 TB shape."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = toks.withColumn("h", F.md5("tok"))
+    bits = (
+        toks.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("j"),
+        )
+        .withColumn(
+            "v",
+            F.when(F.substring(F.col("h"), F.col("j") + 1, 1).isin(*_HI_HEX), 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("w"))
+    )
+    sigs = bits.groupBy("doc_id").agg(
+        # expr: the python shiftleft wrapper wants an int shift; SQL takes a column
+        F.sum(F.when(F.col("w") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))).alias(
+            "sig"
+        )
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(sig, band * 8)").bitwiseAND(255))
+    a, x = banded.alias("a"), banded.alias("x")
+    cand = (
+        a.join(
+            x,
+            (F.col("a.band") == F.col("x.band"))
+            & (F.col("a.band_val") == F.col("x.band_val"))
+            & (F.col("a.doc_id") < F.col("x.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("x.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("x.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.where(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE text <> ''),
+           (SELECT unnest(generate_series(1, 1000)) AS i)
+      WHERE i + 2 <= len(toks)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.shingle) AS ninter
+      FROM sh a JOIN rare r ON a.shingle = r.shingle
+                JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS jaccard_lb
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.05
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-token shingle) Jaccard via a rare-shingle inverted index:
+    only shingles with document frequency in [2, 20] generate candidate
+    pairs (a hot shingle would explode the self-join — the df ceiling is
+    the skew guard), then Jaccard from intersection counts computed on the
+    RARE shingles only (a lower bound of true Jaccard — consistent in both
+    engines, so hash-verified; at scale this is how you keep the inverted
+    index join linear)."""
+    d = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("text") != "")
+        # ≥3 tokens, so every shingle is a full 3-gram (matches oracle's i+2 ≤ len)
+        .where(F.size(F.split("text", " ")) >= 3)
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("shingle")
+    )
+    sh_rare = sh.join(F.broadcast(rare), "shingle")
+    a = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("shingle").alias("ninter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "jac", F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
+        )
+    )
+    return j.where(F.col("jac") >= 0.05).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard_lb")
+    )
