@@ -6,7 +6,7 @@ Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Timing discipline (BASELINE.md): per-query EXECUTION time on a warmed
-session — each query runs three times and the MINIMUM is reported (this
+session — each query runs five times and the MINIMUM is reported (this
 host shows transient multi-10s scheduling spikes unrelated to the engine;
 min-of-N isolates engine cost). The sink is the noop writer so results are
 fully computed but never shipped to the driver. Spark's ~seconds of fixed
@@ -49,7 +49,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(3):  # report min: robust to host scheduling noise
+        for _ in range(5):  # report min: robust to host scheduling noise
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -84,6 +84,13 @@ def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> Spa
     return configure(b.getOrCreate())
 
 
+#: (session id, sf_dir) → table dict. DataFrames are immutable lazy plans,
+#: so caching is safe; it removes ~0.5-1 s of per-query footer reads + view
+#: registration (measured part of the local job floor).
+_tables_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_views_current: dict[int, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table as a lazy DataFrame; normalize ``events.ts``.
 
@@ -93,8 +100,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
       - ``ts_ns``: the original raw int64 nanoseconds, for ops that need
         full precision (sessionization windows use epoch arithmetic).
     Also registers each table as a temp view ``<name>`` for the SQL entry
-    point (SURVEY §3.2).
+    point (SURVEY §3.2). Cached per (session, sf_dir).
     """
+    key = (id(spark), sf_dir)
+    cached = _tables_cache.get(key)
+    if cached is not None:
+        # temp views must track the ACTIVE sf_dir (SQL-path queries read
+        # them); re-register only when this session last pointed elsewhere
+        if _views_current.get(id(spark)) != sf_dir:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            _views_current[id(spark)] = sf_dir
+        return cached
     configure(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -105,6 +122,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             )
         out[name] = df
         df.createOrReplaceTempView(name)
+    _tables_cache[key] = out
+    _views_current[id(spark)] = sf_dir
     return out
 
 
@@ -182,6 +201,53 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_nationkey")
             .localCheckpoint(eager=True)
         )
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables + co-located join: both fact tables written
+    bucketed 8-ways on the join key, then joined WITHOUT a shuffle — the
+    plan has no Exchange on either side (asserted in
+    tests/test_plans.py). This is the 100 TB pattern for repeated joins
+    on the same key: pay the shuffle once at write time, never again.
+    """
+    t = load_tables(spark, sf_dir)
+    # external tables at a per-process tmp path: the default warehouse dir
+    # outlives the in-memory catalog, so a managed-table name would collide
+    # on the second process run against the stale directory
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/engine_bkt_{os.getpid()}"
+    for name, df, key in (
+        (f"orders_bkt_{sf_tag}", t["orders"], "o_orderkey"),
+        (f"lineitem_bkt_{sf_tag}", t["lineitem"], "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .option("path", os.path.join(base, name))
+                .saveAsTable(name)
+            )
+    o = spark.table(f"orders_bkt_{sf_tag}")
+    li = spark.table(f"lineitem_bkt_{sf_tag}")
+    # force SMJ: at tiny SF the planner would broadcast, which hides the
+    # bucketed (shuffle-free, sort-free) join path this key demonstrates
+    return (
+        li.hint("merge")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
 
 
 @query("sink_partitioned_parquet")

@@ -848,6 +848,36 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY §3.2 #2): the flagship expressed as a SQL
+    string over the registered temp views — same Catalyst lifecycle from
+    the parser instead of the DSL builder."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 window functions
 # ---------------------------------------------------------------------------
@@ -1081,6 +1111,51 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation by explicit salting: phase 1 groups
+    on (key, salt) — 16-way fan-out of each hot key — phase 2 merges the
+    partials per key. events.user_id is the fixture's hot-key column
+    (~667 rows/key at sf0.1). Catalyst's partial aggregation already
+    handles THIS case; explicit salting is the pattern for when the
+    per-key state itself is too big for one reducer (collect_list,
+    distinct-heavy aggs) at 100 TB. Salt is deterministic (hash of a
+    second column, not rand())."""
+    ev = load_tables(spark, sf_dir)["events"]
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("pv"), 4).alias("total"))
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling by key hash — the training-data sampling
+    pattern: membership depends only on the key (stable across reruns,
+    re-partitioning, and engines; verifiable by the oracle), unlike
+    rand()/TABLESAMPLE. ~25% rate via md5 first-hex-char mod 4."""
+    d = load_tables(spark, sf_dir)["documents"]
+    keep = F.pmod(F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)), F.lit(4)) == 0
+    return d.where(keep).select("doc_id", "lang", "n_chars")
 
 
 # ---------------------------------------------------------------------------

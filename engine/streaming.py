@@ -326,6 +326,162 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases ⋈ clicks of the same user
+    within the preceding hour. Both sides carry watermarks and the join
+    condition carries the time-range bound — that pair is what lets the
+    state store EVICT old rows instead of growing forever (the required
+    shape for stream-stream joins at scale). Result ≡ the batch range
+    join on the same data."""
+    s1 = _read_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    s2 = _read_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    p = (
+        s1.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        s2.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_to_memory(j, "append")
+
+
+@query(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(max(value), 4) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, max) kept in an explicit state store across
+    micro-batches, emitted on every update; the memory sink's LAST update
+    per user equals the batch aggregate. This is the escape hatch for
+    state machines Spark's built-in aggregates can't express (the state
+    schema is user-defined); state shards by group key across executors."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    s = _read_stream(spark, sf_dir, max_files=1)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_memory(out, "update")
+    # last update per user == final state (counts grow monotonically)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("max_value", 4).alias("max_value"))
+    )
+
+
+@query(
+    "sink_foreachBatch_merge",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def sink_foreachBatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 sink key: per-micro-batch MERGE of a CDC feed into the
+    current-state snapshot via foreachBatch — hand-rolled MERGE WHEN
+    MATCHED semantics (no Delta Lake): full-outer join prev⋈batch on the
+    key, newest (ts, event_id) wins per column set. Unlike
+    stream_cdc_pipeline's union+dedup formulation, this is the explicit
+    join-shaped merge; both are order-independent and idempotent, and both
+    must equal the batch latest-per-key oracle."""
+    snap_dir = tempfile.mkdtemp(prefix="engine_merge_snap_")
+    cols = ["user_id", "event_id", "ts", "value"]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch_latest = dedup_extract(batch_df.select(*cols), ["user_id"], "ts", "event_id")
+        versions = sorted(
+            (d for d in os.listdir(snap_dir) if d.startswith("v")), key=lambda d: int(d[1:])
+        )
+        if not versions:
+            out = batch_latest
+        else:
+            prev = sp.read.parquet(os.path.join(snap_dir, versions[-1]))
+            p = prev.select(*[F.col(c).alias(f"p_{c}") for c in cols])
+            b = batch_latest.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+            j = p.join(b, F.col("p_user_id") == F.col("b_user_id"), "full_outer")
+            b_wins = F.col("p_user_id").isNull() | (
+                F.col("b_user_id").isNotNull()
+                & (
+                    (F.col("b_ts") > F.col("p_ts"))
+                    | ((F.col("b_ts") == F.col("p_ts")) & (F.col("b_event_id") >= F.col("p_event_id")))
+                )
+            )
+            out = j.select(
+                *[F.when(b_wins, F.col(f"b_{c}")).otherwise(F.col(f"p_{c}")).alias(c) for c in cols]
+            )
+        out.write.mode("overwrite").parquet(os.path.join(snap_dir, f"v{batch_id}"))
+
+    s = _read_stream(spark, sf_dir, max_files=1)
+    with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    versions = sorted(
+        (d for d in os.listdir(snap_dir) if d.startswith("v")), key=lambda d: int(d[1:])
+    )
+    final = spark.read.parquet(os.path.join(snap_dir, versions[-1]))
+    return final.select("user_id", "event_id", "value").localCheckpoint(eager=True)
+
+
+@query(
     "stream_cdc_pipeline",
     oracle="""
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -1,0 +1,53 @@
+"""Physical-plan assertions (PLANS.md claims, kept honest by CI).
+
+These tests pin the scale-relevant plan shapes: if a future change
+regresses pushdown, broadcast, top-k pushdown, or the shuffle-free
+bucketed join, they fail even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from engine import registry
+
+registry.load_all()
+
+
+def _plan(spark, name, sf_dir):
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    s = _plan(spark, "agg_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in s, "shipdate filter not pushed to parquet"
+    assert "l_orderkey" not in s.split("ReadSchema")[1][:400], "scan not column-pruned"
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(spark, "win_topk_per_group", sf_dir)
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, "limit_topk_global", sf_dir)
+
+
+def test_broadcast_dims(spark, sf_dir):
+    s = _plan(spark, "join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of sink_bucketed_join: join two 8-bucket tables on
+    the bucket key without shuffling either input. The only Exchange in
+    the whole plan is the final per-status aggregation's (an unbucketed
+    join of these two tables needs three)."""
+    import re
+
+    s = _plan(spark, "sink_bucketed_join", sf_dir)
+    assert "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    n_exchanges = len(set(re.findall(r"\(\d+\) Exchange", s)))
+    assert n_exchanges <= 1, f"expected ≤1 Exchange (agg only), got {n_exchanges}"
+    assert "Bucketed: true" in s or "SelectedBucketsCount" in s
