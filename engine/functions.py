@@ -389,6 +389,31 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) + user_id AS mixed
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: parse_json once into a binary semi-structured
+    value, then typed variant_get extraction — the scale answer to
+    repeated get_json_object string re-parsing (parse cost paid once,
+    shredded access thereafter)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (F.variant_get(v, "$.k", "int") + F.col("user_id")).alias("mixed"),
+    )
+
+
+@query(
     "fn_json",
     oracle="""
     SELECT event_id,

@@ -204,6 +204,90 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write orders as ORC, read back with pushdown +
+    pruning intact (ORC carries the same min/max stripe stats as parquet),
+    aggregate. Oracle runs on the parquet original — equality proves the
+    format round-trip is lossless."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="engine_orc_") as d:
+        path = os.path.join(d, "orders_orc")
+        t["orders"].write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        return (
+            back.where(F.col("o_totalprice") > 100000)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+_FEED_PARTS = 4
+_FEED_ROWS_PER_PART = 100
+
+
+@query(
+    "source_custom_python",
+    oracle=f"""
+    WITH g AS (SELECT unnest(generate_series(0, {_FEED_PARTS * _FEED_ROWS_PER_PART - 1})) AS key)
+    SELECT key,
+           CASE ascii(substring(md5(CAST(key AS VARCHAR)), 1, 1)) % 3
+                WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+           substring(md5(CAST(key AS VARCHAR)), 1, 8) AS val,
+           key % {_FEED_PARTS} AS part
+    FROM g
+    """,
+)
+def source_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API: a
+    deterministic synthetic CDC feed, partitioned 4 ways, generated
+    executor-side per partition (the connector shape for any system Spark
+    lacks a reader for). The generation rule is pure md5 arithmetic, so
+    the DuckDB oracle REGENERATES the identical feed from generate_series
+    — a fully hash-checked custom source."""
+    import hashlib
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class CdcFeedReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(p) for p in range(_FEED_PARTS)]
+
+        def read(self, partition):
+            p = partition.value
+            for i in range(_FEED_ROWS_PER_PART):
+                key = i * _FEED_PARTS + p  # interleaved → balanced parts
+                h = hashlib.md5(str(key).encode()).hexdigest()
+                op = "IUD"[int(ord(h[0]) % 3)]
+                yield (key, op, h[:8], key % _FEED_PARTS)
+
+    class CdcFeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "engine_cdc_feed"
+
+        def schema(self):
+            return "key long, op string, val string, part long"
+
+        def reader(self, schema):
+            return CdcFeedReader()
+
+    spark.dataSource.register(CdcFeedSource)
+    return spark.read.format("engine_cdc_feed").load()
+
+
+@query(
     "sink_bucketed_join",
     oracle="""
     SELECT o.o_orderstatus, count(*) AS n,
