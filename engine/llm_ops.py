@@ -480,3 +480,52 @@ def llm_multimodal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
         F.round(F.element_at("embedding", 1).cast("double"), 5).alias("e0"),
     )
+
+
+@query(
+    "llm_doc_fingerprint",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(text) - 7),
+                            i -> md5(substr(text, i, 8))) AS grams
+      FROM documents WHERE len(text) >= 11
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, len(grams) - 3),
+             j -> list_min(grams[j:j+3])))) AS fp
+    FROM g
+    """,
+)
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every k=8-char gram, slide a w=4 window over
+    the gram-hash sequence, keep each window's minimum → a sparse,
+    position-robust fingerprint set per document. Two docs sharing any fp
+    share a ≥ 8-char substring; matching on fps is how plagiarism /
+    contamination detection scales to corpus size (join on fp, never
+    doc × doc).
+
+    All-declarative: per-row array exprs (sequence → transform → slice →
+    array_min), zero shuffles until the caller aggregates — each doc's
+    fingerprints compute where the doc lives. The gram hash is md5 so the
+    oracle matches verbatim; a production variant would swap in a true
+    rolling (polynomial) hash via mapInPandas to go O(len) instead of
+    O(len·k), same output contract."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.length("text") >= 11)
+    g = d.withColumn(
+        "grams",
+        F.expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))"),
+    )
+    return g.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(grams) - 3),"
+                    " j -> array_min(slice(grams, j, 4)))"
+                )
+            )
+        ).alias("fp"),
+    )

@@ -52,13 +52,13 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _spark_bucket(emb_col: str):
-    """LSH bucket id: bit p = sign(e · plane_p)."""
+def _spark_bucket(emb_col: str, planes: list[list[float]] | None = None):
+    """LSH bucket id: bit j = sign(e · plane_j) over the given plane subset."""
     e = _dbl(emb_col)
     bucket = F.lit(0)
-    for p, plane in enumerate(_PLANES):
+    for j, plane in enumerate(planes if planes is not None else _PLANES):
         plane_arr = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(_dot(e, plane_arr) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + F.when(_dot(e, plane_arr) > 0, F.lit(1 << j)).otherwise(0)
     return bucket
 
 
@@ -66,12 +66,12 @@ def _sql_plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
 
 
-def _sql_bucket(emb: str) -> str:
+def _sql_bucket(emb: str, planes: list[list[float]] | None = None) -> str:
     terms = []
-    for p, plane in enumerate(_PLANES):
+    for j, plane in enumerate(planes if planes is not None else _PLANES):
         terms.append(
             f"(CASE WHEN list_dot_product(list_transform({emb}, x -> CAST(x AS DOUBLE)),"
-            f" {_sql_plane_lit(plane)}) > 0 THEN {1 << p} ELSE 0 END)"
+            f" {_sql_plane_lit(plane)}) > 0 THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(terms)
 
@@ -368,4 +368,216 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.where(F.col("jac") >= 0.05).select(
         "doc_a", "doc_b", F.round("jac", 6).alias("jaccard_lb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse quantizer → probe cells → exact search within cells)
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, {_DIM})) AS i) g
+    ), avgs AS (
+      SELECT label, pos, round(avg(val), 5) AS a FROM ex GROUP BY label, pos
+    ), cents AS (
+      SELECT label AS c_label, list(a ORDER BY pos) AS centroid
+      FROM avgs GROUP BY label
+    ), q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+    ), assign AS (
+      SELECT qid, c_label,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY round(cos, 6) DESC, c_label) AS cr
+      FROM (
+        SELECT q.qid, c.c_label, {_sql_cos('q.qe', 'c.centroid')} AS cos
+        FROM q CROSS JOIN cents c
+      )
+    ), probes AS (
+      SELECT qid, c_label FROM assign WHERE cr <= {_IVF_NPROBE}
+    ), scored AS (
+      SELECT p.qid, e.vec_id AS nid,
+             {_sql_cos('q.qe', 'e.embedding')} AS cos
+      FROM probes p
+      JOIN embeddings e ON e.label = p.c_label
+      JOIN q ON q.qid = p.qid
+      WHERE e.vec_id <> p.qid
+    )
+    SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroid (10 cells),
+    each query probes its nprobe=2 nearest cells, exact cosine only within
+    the probed cells, top-3.
+
+    The 100 TB shape: the corpus is partitioned ONCE by cell id (a real
+    deployment would `partitionBy(cell)` the parquet → partition pruning
+    turns each probe into a sub-scan); queries × centroids is a broadcast
+    cross join against a tiny (k_cells × dim) table; exact scoring touches
+    only nprobe/k_cells of the corpus instead of all of it (vs
+    llm_ann_brute). Centroids are rounded to 5dp on BOTH sides, and
+    rankings order by round(cos, 6) with label/nid tie-breaks, so cell
+    assignment and top-k are hash-match deterministic."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    # coarse quantizer — same (label, pos)-keyed shuffle as llm_centroids
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    avgs = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 5).alias("a")
+    )
+    cents = (
+        avgs.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qcos = (
+        _dot(_dbl("qe"), F.col("centroid"))
+        / F.sqrt(_dot(_dbl("qe"), _dbl("qe")))
+        / F.sqrt(_dot("centroid", "centroid"))
+    )
+    aw = Window.partitionBy("qid").orderBy(F.round(F.col("ccos"), 6).desc(), "c_label")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qe", "c_label", qcos.alias("ccos"))
+        .withColumn("cr", F.row_number().over(aw))
+        .where(F.col("cr") <= _IVF_NPROBE)
+        .select("qid", "qe", "c_label")
+    )
+    scored = (
+        e.join(F.broadcast(probes), (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("qid")))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                _dot(_dbl("qe"), _dbl("embedding"))
+                / F.sqrt(_dot(_dbl("qe"), _dbl("qe")))
+                / F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 6).desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (banded LSH candidates → keep/drop verdicts)
+# ---------------------------------------------------------------------------
+
+#: 2 bands × 4 planes (OR-of-ANDs): a pair is a candidate if it matches on
+#: EITHER band — the MinHash-LSH banding trick applied to hyperplane LSH.
+#: Fewer bits per band than llm_ann_lsh's single 8-bit bucket → much higher
+#: recall at moderate cosine (p^4 vs p^8 per band, unioned across bands).
+_BANDS = [_PLANES[0:4], _PLANES[4:8]]
+_NEAR_DUP_TAU = 0.35
+
+
+@query(
+    "llm_near_dedup_embedding",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_sql_bucket('embedding', _BANDS[0])} AS b0,
+             {_sql_bucket('embedding', _BANDS[1])} AS b1
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, 0 AS band, b0 AS bv FROM b
+      UNION ALL
+      SELECT vec_id, 1 AS band, b1 AS bv FROM b
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+      FROM m a JOIN m x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_b AS drop_id, min(id_a) AS keep_id,
+           round(arg_min(cos, id_a), 6) AS cos
+    FROM pairs WHERE cos >= {_NEAR_DUP_TAU} GROUP BY id_b
+    """,
+)
+def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP: banded hyperplane LSH (2
+    bands × 4 sign bits, candidate = match on either band) → exact cosine
+    on candidates only → per-document keep/drop verdict (drop every doc
+    with a ≥ τ neighbor of smaller id; keep_id = that smallest neighbor).
+
+    vs llm_ann_lsh (one 8-bit bucket): banding ORs two 4-bit bands, so
+    recall at τ=0.35 is ~1-(1-p⁴)² instead of p⁸ — the standard
+    recall/cost dial for dedup, where missing a dup is worse than extra
+    candidate checks. At 100 TB: band melt is a projection (no shuffle),
+    candidate join shuffles on (band, 4-bit value) — add bits per band as
+    the corpus grows to keep bucket sizes bounded, and salt hot buckets;
+    the verdict agg shuffles once on doc id. No O(n²) stage anywhere."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    b = e.select(
+        "vec_id",
+        _spark_bucket("embedding", _BANDS[0]).alias("b0"),
+        _spark_bucket("embedding", _BANDS[1]).alias("b1"),
+    )
+    m = b.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("b0").alias("bv")),
+                F.struct(F.lit(1).alias("band"), F.col("b1").alias("bv")),
+            )
+        ).alias("mb"),
+    ).select("vec_id", F.col("mb.band").alias("band"), F.col("mb.bv").alias("bv"))
+    a, x = m.alias("a"), m.alias("x")
+    cand = (
+        a.join(
+            x,
+            (F.col("a.band") == F.col("x.band"))
+            & (F.col("a.bv") == F.col("x.bv"))
+            & (F.col("a.vec_id") < F.col("x.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(_dbl("emb_a"), _dbl("emb_b"))
+                / F.sqrt(_dot(_dbl("emb_a"), _dbl("emb_a")))
+                / F.sqrt(_dot(_dbl("emb_b"), _dbl("emb_b")))
+            ).alias("cos"),
+        )
+    )
+    return (
+        pairs.where(F.col("cos") >= _NEAR_DUP_TAU)
+        .groupBy(F.col("id_b").alias("drop_id"))
+        .agg(
+            F.min("id_a").alias("keep_id"),
+            F.round(F.min_by("cos", "id_a"), 6).alias("cos"),
+        )
     )
