@@ -51,3 +51,32 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     n_exchanges = len(set(re.findall(r"\(\d+\) Exchange", s)))
     assert n_exchanges <= 1, f"expected ≤1 Exchange (agg only), got {n_exchanges}"
     assert "Bucketed: true" in s or "SelectedBucketsCount" in s
+
+
+def test_ivf_broadcasts_small_sides(spark, sf_dir):
+    """llm_ann_ivf must broadcast centroids and probes — a shuffle join
+    against a 40-row side would be the wrong plan at any scale."""
+    s = _plan(spark, "llm_ann_ivf", sf_dir)
+    assert s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in s
+
+
+def test_embedding_dedup_no_cartesian(spark, sf_dir):
+    """Candidate generation joins on (band, band_val) — an equi-join; a
+    CartesianProduct here means the LSH blocking silently degenerated to
+    all-pairs."""
+    s = _plan(spark, "llm_near_dedup_embedding", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_doc_fingerprint_scan_is_pruned(spark, sf_dir):
+    """Winnowing is per-row: the scan should read only doc_id + text, and
+    the plan should contain no Exchange at all (fingerprints compute where
+    the doc lives)."""
+    import re
+
+    s = _plan(spark, "llm_doc_fingerprint", sf_dir)
+    read = s.split("ReadSchema")[1][:400]
+    assert "lang" not in read and "n_chars" not in read, "scan not column-pruned"
+    assert not re.findall(r"\(\d+\) Exchange", s), "unexpected shuffle in per-row op"
