@@ -514,12 +514,24 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling (polynomial) hash via mapInPandas to go O(len) instead of
     O(len·k), same output contract."""
     d = load_tables(spark, sf_dir)["documents"].where(F.length("text") >= 11)
-    g = d.withColumn(
+    return winnow_fingerprints(d, id_col="doc_id", text_col="text")
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing core (k=8-char grams, w=4 windows): (id, fp) rows, one per
+    distinct window-minimum gram hash. Guarantee (Schleimer et al. thm 1):
+    any two texts sharing a substring of length ≥ k+w-1 = 11 share ≥1 fp —
+    property-tested in tests/test_similarity_properties.py. Input rows must
+    have length(text_col) ≥ 11."""
+    g = df.withColumn(
         "grams",
-        F.expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))"),
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - 7),"
+            f" i -> md5(substring({text_col}, i, 8)))"
+        ),
     )
     return g.select(
-        "doc_id",
+        id_col,
         F.explode(
             F.array_distinct(
                 F.expr(

@@ -186,3 +186,77 @@ def _fake_decode(payload: bytes) -> list[float]:
 
     h = hashlib.sha256(bytes(payload)).digest()
     return [round(b / 255.0, 6) for b in h[:_MM_FEATURE_DIM]]
+
+
+#: frame-sampling geometry for udf_multimodal_frames (bytes, not pixels —
+#: the fixture "video" is an opaque byte stream; real codecs slot in here)
+_FRAME_SIZE = 64
+_FRAME_SAMPLE = (0, 2, 4, 6)  # stride-2 sampling of the first 8 frames
+_CROP = 16
+
+
+@query(
+    "udf_multimodal_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, k.k AS frame_idx,
+             substr(text, k.k * {_FRAME_SIZE} + 1, {_FRAME_SIZE}) AS frame
+      FROM documents, (SELECT unnest({list(_FRAME_SAMPLE)}) AS k) k
+      WHERE text <> '' AND len(text) > k.k * {_FRAME_SIZE}
+    ), r AS (
+      SELECT doc_id, frame_idx, len(frame) AS frame_len,
+             substr(frame, 1, {_CROP}) AS crop
+      FROM f
+    )
+    SELECT doc_id, frame_idx, frame_len,
+           round(list_avg(list_transform(generate_series(1, len(crop)),
+                 i -> ascii(substr(crop, i, 1)))), 6) AS feat
+    FROM r
+    """,
+)
+def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize plumbing for video-like media: one opaque
+    binary row explodes into sampled frame rows via mapInPandas.
+
+    Real Spark plumbing end-to-end: binary payload → Arrow batches → per
+    row, slice fixed-size "frames" at a sampling stride (0,2,4,6), "resize"
+    each frame by cropping to its first 16 bytes, emit one row per sampled
+    frame with a feature (mean byte value). The codec is the documented
+    STUB (byte slicing stands in for ffmpeg/PIL frame extraction + resize);
+    the fan-out schema, batch iteration, and 1→N row explosion are exactly
+    the production shape. SQL-oracle-verified because the fake is
+    deterministic byte math (fixtures are pure ASCII, so DuckDB's char
+    ops mirror the byte ops; real media would be rows-only).
+
+    At 100 TB: mapInPandas streams Arrow batches — no per-row pickling, no
+    driver involvement; frame fan-out multiplies rows ~4× AFTER the scan,
+    and downstream shuffles key on doc_id which Spark hash-distributes."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_len", T.IntegerType()),
+            T.StructField("feat", T.DoubleType()),
+        ]
+    )
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_len": [], "feat": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in _FRAME_SAMPLE:
+                    frame = b[k * _FRAME_SIZE : (k + 1) * _FRAME_SIZE]
+                    if not frame:
+                        continue
+                    crop = frame[:_CROP]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(k)
+                    rows["frame_len"].append(len(frame))
+                    rows["feat"].append(round(sum(crop) / len(crop), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(sample_frames, out_schema)

@@ -1,0 +1,91 @@
+"""Property tests for the similarity/dedup operators.
+
+Two invariants that the differential oracle can't express:
+
+1. Winnowing guarantee (Schleimer et al., SIGMOD'03, theorem 1): any two
+   texts sharing a substring of length ≥ k + w - 1 (= 11 here) MUST share
+   at least one fingerprint. This is the whole point of winnowing — a
+   detector with this guarantee never misses a long-enough copy.
+
+2. Banded-LSH dedup soundness: every keep/drop verdict emitted by
+   llm_near_dedup_embedding corresponds to a real pair with exact
+   cosine ≥ τ and keep_id < drop_id — blocking may lose recall (by
+   design) but must never fabricate a duplicate.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from engine.llm_ops import winnow_fingerprints
+from engine.registry import QUERIES
+from engine.similarity import _NEAR_DUP_TAU
+
+_ALPHA = string.ascii_lowercase + " "
+_text = st.text(alphabet=_ALPHA, min_size=0, max_size=60)
+_shared = st.text(alphabet=_ALPHA, min_size=11, max_size=40)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pre_a=_text, post_a=_text, pre_b=_text, post_b=_text, shared=_shared)
+def test_winnowing_detects_shared_substring(spark, pre_a, post_a, pre_b, post_b, shared):
+    """doc_a and doc_b embed the same ≥11-char substring at arbitrary
+    positions inside arbitrary noise → they share ≥1 fingerprint."""
+    doc_a = pre_a + shared + post_a
+    doc_b = pre_b + shared + post_b
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], "id long, text string")
+    fps = winnow_fingerprints(df, id_col="id", text_col="text")
+    both = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("id").alias("n"))
+        .where(F.col("n") == 2)
+        .count()
+    )
+    assert both >= 1, f"no shared fingerprint for shared substring {shared!r}"
+
+
+def test_embedding_dedup_verdicts_are_sound(spark):
+    """At sf0.001: every (drop_id, keep_id, cos) verdict is a true ≥ τ
+    cosine pair (recomputed from raw embeddings), keep_id < drop_id, and
+    keep_id is the smallest qualifying CANDIDATE neighbor (blocking may
+    hide smaller true neighbors — soundness, not completeness)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        (r["drop_id"], r["keep_id"]): r["cos"]
+        for r in QUERIES["llm_near_dedup_embedding"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    true_pairs = {
+        (b, a): round(c, 6)
+        for a, b, c in con.execute(
+            """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT a.vec_id, b.vec_id,
+                   list_dot_product(a.v, b.v)
+                     / sqrt(list_dot_product(a.v, a.v))
+                     / sqrt(list_dot_product(b.v, b.v)) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            """
+        ).fetchall()
+        if c >= _NEAR_DUP_TAU
+    }
+    for (drop_id, keep_id), cos in out.items():
+        assert keep_id < drop_id
+        assert (drop_id, keep_id) in true_pairs, (
+            f"verdict ({drop_id}, {keep_id}) is not a true ≥ τ pair"
+        )
+        assert abs(true_pairs[(drop_id, keep_id)] - cos) <= 1e-6
