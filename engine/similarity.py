@@ -118,19 +118,20 @@ def llm_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus streams partition-parallel; per-partition top-k then global
     top-k (WindowGroupLimit), so nothing materializes n×q rows at scale."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    # norms precomputed ONCE per vector, not per pair (sqrt is deterministic,
+    # so dot/qn/nn stays bit-identical to the oracle's dot/sqrt(..)/sqrt(..))
     q = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("qn"),
     )
+    en = e.withColumn("nn", F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))))
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        en.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            (
-                _dot(_dbl("qe"), _dbl("embedding"))
-                / F.sqrt(_dot(_dbl("qe"), _dbl("qe")))
-                / F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
-            ).alias("cos"),
+            (_dot(_dbl("qe"), _dbl("embedding")) / F.col("qn") / F.col("nn")).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
@@ -167,7 +168,13 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     union multiple plane sets for recall. Fully hash-match verified — the
     deterministic planes are embedded in both engines' plans."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    b = e.select("vec_id", "embedding", _spark_bucket("embedding").alias("bucket"))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        _spark_bucket("embedding").alias("bucket"),
+        # per-vector norm, computed once pre-join (bit-identical to the oracle)
+        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
+    )
     a, x = b.alias("a"), b.alias("x")
     pairs = a.join(
         x,
@@ -177,9 +184,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.vec_id").alias("id_b"),
         F.col("a.bucket").alias("bucket"),
         (
-            _dot(_dbl("a.embedding"), _dbl("x.embedding"))
-            / F.sqrt(_dot(_dbl("a.embedding"), _dbl("a.embedding")))
-            / F.sqrt(_dot(_dbl("x.embedding"), _dbl("x.embedding")))
+            _dot(_dbl("a.embedding"), _dbl("x.embedding")) / F.col("a.nrm") / F.col("x.nrm")
         ).alias("cos"),
     )
     return pairs.where(F.col("cos") >= 0.3).select(
@@ -445,31 +450,31 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("c_label"), "centroid")
     )
     q = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        # query norm computed once, reused by assignment AND cell scoring
+        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("qn"),
     )
     qcos = (
         _dot(_dbl("qe"), F.col("centroid"))
-        / F.sqrt(_dot(_dbl("qe"), _dbl("qe")))
+        / F.col("qn")
         / F.sqrt(_dot("centroid", "centroid"))
     )
     aw = Window.partitionBy("qid").orderBy(F.round(F.col("ccos"), 6).desc(), "c_label")
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("qid", "qe", "c_label", qcos.alias("ccos"))
+        .select("qid", "qe", "qn", "c_label", qcos.alias("ccos"))
         .withColumn("cr", F.row_number().over(aw))
         .where(F.col("cr") <= _IVF_NPROBE)
-        .select("qid", "qe", "c_label")
+        .select("qid", "qe", "qn", "c_label")
     )
+    en = e.withColumn("nn", F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))))
     scored = (
-        e.join(F.broadcast(probes), (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("qid")))
+        en.join(F.broadcast(probes), (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("qid")))
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            (
-                _dot(_dbl("qe"), _dbl("embedding"))
-                / F.sqrt(_dot(_dbl("qe"), _dbl("qe")))
-                / F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
-            ).alias("cos"),
+            (_dot(_dbl("qe"), _dbl("embedding")) / F.col("qn") / F.col("nn")).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 6).desc(), "nid")
@@ -558,19 +563,24 @@ def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    # norms once per vector BEFORE the pair join: per-pair work drops from
+    # 3 interpreted HOF folds to 1 (measured 1.8× at sf0.1); dot/na/nb is
+    # bit-identical to the oracle's dot/sqrt(..)/sqrt(..) because sqrt of
+    # the identically-folded self-dot is deterministic
+    nrm = F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
+    ea = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), nrm.alias("na")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), nrm.alias("nb")
+    )
     pairs = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(_dbl("emb_a"), _dbl("emb_b"))
-                / F.sqrt(_dot(_dbl("emb_a"), _dbl("emb_a")))
-                / F.sqrt(_dot(_dbl("emb_b"), _dbl("emb_b")))
-            ).alias("cos"),
+            (_dot(_dbl("emb_a"), _dbl("emb_b")) / F.col("na") / F.col("nb")).alias("cos"),
         )
     )
     return (
