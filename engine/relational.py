@@ -1114,6 +1114,70 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_time_rollup_multires",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+             count(*) AS n, sum(value) AS sv, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             sum(n) AS n, sum(sv) AS sv, min(mn) AS mn, max(mx) AS mx
+      FROM hourly GROUP BY 1, 2
+    ), both_res AS (
+      SELECT 'hour' AS resolution, * FROM hourly
+      UNION ALL
+      SELECT 'day' AS resolution, * FROM daily
+    )
+    SELECT resolution, bucket, event_type, n,
+           round(sv, 4) AS sum_value, round(mn, 4) AS min_value,
+           round(mx, 4) AS max_value, round(sv / n, 4) AS avg_value
+    FROM both_res
+    """,
+)
+def agg_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup (continuous-aggregate
+    pattern): the daily level is derived by RE-AGGREGATING the hourly
+    partials (sum of counts, sum of sums, min of mins, max of maxes), never
+    by rescanning raw events. At 100 TB this is the difference between one
+    pass over the raw table and one pass over a table ~10^4× smaller; it is
+    also why only decomposable aggregates (sum/count/min/max — and avg as
+    sum/count at the end) are materialized per bucket, with avg finalized
+    from partials at read time. Both resolutions share one events shuffle:
+    the daily agg consumes the hourly agg's output directly."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    both = hourly.select(F.lit("hour").alias("resolution"), "*").unionByName(
+        daily.select(F.lit("day").alias("resolution"), "*")
+    )
+    return both.select(
+        "resolution",
+        "bucket",
+        "event_type",
+        "n",
+        F.round("sv", 4).alias("sum_value"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+        F.round(F.col("sv") / F.col("n"), 4).alias("avg_value"),
+    )
+
+
+@query(
     "agg_salted_skew",
     oracle="""
     SELECT user_id, count(*) AS n, round(sum(value), 4) AS total

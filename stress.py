@@ -105,6 +105,93 @@ def main() -> None:
 
     run("lineitem_orders_join_10x", join_agg)
 
+    docs = replicate(t["documents"], ["doc_id"], 10_000_000)
+
+    def doc_fingerprint():
+        from engine.llm_ops import winnow_fingerprints
+
+        return (
+            winnow_fingerprints(
+                docs.where(F.length("text") >= 11), id_col="doc_id", text_col="text"
+            )
+            .groupBy()
+            .count()
+        )
+
+    run("doc_fingerprint_10x", doc_fingerprint)
+
+    # Banded-LSH embedding dedup at 10×, turning the documented dial: 16 bits
+    # per band instead of sf0.1's 4. The fixture embeddings are CLUSTERED
+    # (generated around per-label centroids), so coarse buckets concentrate:
+    # measured here, 8-bit bands at 10× put ~780 vectors in a bucket →
+    # ~156M candidate pairs → a spilling, unstable shuffle (20× rep-to-rep
+    # variance). 16-bit bands shrink cross-vector collisions to noise while
+    # losing ZERO dedup recall on duplicates — identical vectors agree on
+    # every hyperplane sign at any width. A bucket-size ceiling (mirror of
+    # llm_ngram_jaccard's df-ceiling) guards the residual skew. The
+    # replicated copies are EXACT duplicates of each other, so this also
+    # checks recall: ~9/10 of the corpus must be dropped, each copy
+    # collapsing onto the lowest-id replica.
+    emb = replicate(t["embeddings"], ["vec_id"], 10_000_000)
+
+    def embedding_dedup():
+        from engine.similarity import _dbl, _dot, _plane, _spark_bucket
+
+        bands = [[_plane(p) for p in range(16)], [_plane(p) for p in range(16, 32)]]
+        b = emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
+            _spark_bucket("embedding", bands[0]).alias("b0"),
+            _spark_bucket("embedding", bands[1]).alias("b1"),
+        )
+        m = b.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), F.col("b0").alias("bv")),
+                    F.struct(F.lit(1).alias("band"), F.col("b1").alias("bv")),
+                )
+            ).alias("mb"),
+        ).select("vec_id", "embedding", "nrm", "mb.band", "mb.bv")
+        # skew guard: drop buckets that would go quadratic (cap ≫ the
+        # 10-copy duplicate cluster size, so recall is unaffected)
+        sizes = m.groupBy("band", "bv").count().where(F.col("count") <= 200)
+        m = m.join(F.broadcast(sizes.select("band", "bv")), ["band", "bv"])
+        a, x = m.alias("a"), m.alias("x")
+        cand = (
+            a.join(
+                x,
+                (F.col("a.band") == F.col("x.band"))
+                & (F.col("a.bv") == F.col("x.bv"))
+                & (F.col("a.vec_id") < F.col("x.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
+            .distinct()
+        )
+        ea = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("na"))
+        eb = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nb"))
+        pairs = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (_dot(_dbl("emb_a"), _dbl("emb_b")) / F.col("na") / F.col("nb")).alias("cos"),
+            )
+        )
+        return (
+            pairs.where(F.col("cos") >= 0.35)
+            .groupBy("id_b")
+            .agg(F.min("id_a").alias("keep_id"))
+            .groupBy()
+            .count()
+        )
+
+    run("embedding_dedup_10x_16bit", embedding_dedup)
+
     print(json.dumps({"metric": "stress_10x", "unit": "sec", "copies": COPIES, "queries": results}))
 
 

@@ -80,3 +80,23 @@ def test_doc_fingerprint_scan_is_pruned(spark, sf_dir):
     read = s.split("ReadSchema")[1][:400]
     assert "lang" not in read and "n_chars" not in read, "scan not column-pruned"
     assert not re.findall(r"\(\d+\) Exchange", s), "unexpected shuffle in per-row op"
+
+
+def test_time_rollup_reuses_hourly_partials(spark, sf_dir):
+    """agg_time_rollup_multires's contract: the daily resolution is derived
+    from the hourly aggregate, not from a second scan of raw events. The
+    reuse is an AQE *runtime* decision (canonicalized stage cache), so the
+    query must execute first; the FINAL plan's daily branch must then read
+    a ReusedExchange with a single events scan — two scans would mean the
+    continuous-aggregate pattern silently regressed to rescanning raw."""
+    from engine import registry
+
+    df = registry.QUERIES["agg_time_rollup_multires"](spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "isFinalPlan=true" in s
+    final = s.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, "hourly partials not shared across resolutions"
+    assert final.count("Scan parquet") == 1, "daily branch rescans raw events"
