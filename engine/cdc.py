@@ -409,3 +409,62 @@ def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_value"),
         )
     )
+
+
+def incremental_upsert_evolved(prev: DataFrame, delta: DataFrame, spec: SourceSpec) -> DataFrame:
+    """Schema-evolution-tolerant delta upsert: ``delta`` may carry tracked
+    columns that ``prev`` predates (``spec.tracked_cols`` is the NEW
+    schema). Untouched prev rows are carried with NULL for the added
+    columns via ``unionByName(allowMissingColumns=True)``; upserted keys
+    take the delta row wholesale, added columns populated. The reference's
+    config-driven fixed schema has no evolution path (SURVEY §1.1) — this
+    is the engine's extension for sources that widen over time. Only the
+    key fingerprint is compared across schemas (it spans key_cols, present
+    on both sides); nonkey hashes from different schema versions are never
+    compared against each other."""
+    cols = [*spec.key_cols, *spec.tracked_cols]
+    key_only = SourceSpec(spec.name, spec.key_cols, spec.key_cols, spec.extract_type)
+    p = with_fingerprints(prev, key_only)
+    d = with_fingerprints(delta, key_only)
+    kept = p.join(d.select("key_hash"), "key_hash", "left_anti").drop(
+        "key_hash", "nonkey_hash"
+    )
+    return kept.unionByName(
+        d.select(*cols), allowMissingColumns=True
+    ).select(*cols)
+
+
+@query(
+    "cdc_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority, CAST(NULL AS VARCHAR) AS o_priority_code
+    FROM orders WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1, o_orderdate,
+           o_orderpriority, substring(o_orderpriority, 1, 1)
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta extract arrives with a column the snapshot predates
+    (``o_priority_code``): the merge must upsert the delta rows with the
+    new column populated and carry every untouched row with NULL there —
+    no rewrite of historical data, no spurious U storm from comparing
+    hashes across schema versions. Fixture derivation: prev = full orders
+    (old schema); delta = keys divisible by 5 with o_totalprice+1 and the
+    added column."""
+    o = load_tables(spark, sf_dir)["orders"]
+    prev = o.select(*ORDERS_SPEC.key_cols, *ORDERS_SPEC.tracked_cols)
+    delta = (
+        o.where(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("o_priority_code", F.substring("o_orderpriority", 1, 1))
+    )
+    spec_new = SourceSpec(
+        "orders_v2",
+        ORDERS_SPEC.key_cols,
+        (*ORDERS_SPEC.tracked_cols, "o_priority_code"),
+        extract_type="delta",
+    )
+    return incremental_upsert_evolved(prev, delta, spec_new)

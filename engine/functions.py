@@ -430,3 +430,33 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.from_json("props", "k INT").getField("k").alias("k_int"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_mask,
+           o_orderkey | 4096 AS or_mask,
+           xor(o_orderkey, o_custkey) AS xor_keys,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND/OR/XOR masks, shifts, popcount — the building
+    blocks the engine's own SimHash/LSH band extraction uses (see
+    engine/similarity.py); exposed as a first-class key. All JVM codegen,
+    per-row, no shuffle."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("and_mask"),
+        F.expr("o_orderkey | 4096").alias("or_mask"),
+        F.expr("o_orderkey ^ o_custkey").alias("xor_keys"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shl2"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shr3"),
+        F.expr("cast(bit_count(o_orderkey) as int)").alias("popcnt"),
+    )
