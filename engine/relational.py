@@ -360,6 +360,53 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_bucketized",
+    oracle="""
+    WITH sizes AS (SELECT DISTINCT p_size FROM part)
+    SELECT s.p_size, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 4) AS total_price
+    FROM sizes s JOIN lineitem l
+      ON l.l_quantity >= s.p_size - 2 AND l.l_quantity <= s.p_size + 2
+    GROUP BY s.p_size
+    """,
+)
+def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB range-join pattern that join_theta_range's docstring
+    promises: quantize the range dimension into width-5 buckets, expand
+    each band to the (≤2) buckets it overlaps, EQUI-join on the bucket id,
+    then apply the exact range as a residual filter. Identical result to
+    the raw theta join (same oracle SQL), but the plan is a
+    BroadcastHashJoin on an equi key (plan-asserted) instead of a
+    BroadcastNestedLoopJoin — and unlike BNLJ, the equi form still scales
+    when BOTH sides are large (shuffle-hash on bucket id), because
+    candidate pairs are bounded by bucket co-residency, not |L|×|R|."""
+    t = load_tables(spark, sf_dir)
+    B = 5
+    sizes = t["part"].select("p_size").distinct()
+    sb = sizes.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("p_size") - 2) / B), F.floor((F.col("p_size") + 2) / B)
+            )
+        ),
+    )
+    li = t["lineitem"].withColumn("bucket", F.floor(F.col("l_quantity") / B))
+    return (
+        li.join(F.broadcast(sb), "bucket")
+        .where(
+            (F.col("l_quantity") >= F.col("p_size") - 2)
+            & (F.col("l_quantity") <= F.col("p_size") + 2)
+        )
+        .groupBy("p_size")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     WITH ev AS (

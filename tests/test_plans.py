@@ -100,3 +100,13 @@ def test_time_rollup_reuses_hourly_partials(spark, sf_dir):
     final = s.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, "hourly partials not shared across resolutions"
     assert final.count("Scan parquet") == 1, "daily branch rescans raw events"
+
+
+def test_range_bucketized_is_equi_join(spark, sf_dir):
+    """join_range_bucketized exists to replace the nested-loop theta join
+    with an equi join on quantized buckets: the plan must contain a hash
+    join and no nested-loop/cartesian operator."""
+    s = _plan(spark, "join_range_bucketized", sf_dir)
+    assert "BroadcastHashJoin" in s or "ShuffledHashJoin" in s or "SortMergeJoin" in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
