@@ -541,3 +541,54 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ).alias("fp"),
     )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw,
+             '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw,
+             '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones
+    FROM seeded
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: regex-chain scrub of emails and
+    phone-shaped tokens, plus per-doc redaction counts for audit. The
+    fixture text is synthetic word soup with no real PII, so deterministic
+    synthetic PII (derived from doc_id, identically on both engines) is
+    injected first — the scrub is then verifiably REAL: every seeded email
+    and phone must come back redacted, hash-matched against DuckDB.
+    Per-row JVM regex, no shuffle; patterns stick to character classes
+    valid in both Java regex and RE2. At 100 TB this runs at scan speed;
+    extend the chain with locale-specific patterns the same way."""
+    d = load_tables(spark, sf_dir)["documents"]
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.regexp_count(F.col("raw"), F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(phone)).cast("int").alias("n_phones"),
+    )

@@ -1178,7 +1178,7 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT resolution, bucket, event_type, n,
            round(sv, 4) AS sum_value, round(mn, 4) AS min_value,
-           round(mx, 4) AS max_value, round(sv / n, 4) AS avg_value
+           round(mx, 4) AS max_value, round(round(sv, 4) / n, 4) AS avg_value
     FROM both_res
     """,
 )
@@ -1220,7 +1220,11 @@ def agg_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sv", 4).alias("sum_value"),
         F.round("mn", 4).alias("min_value"),
         F.round("mx", 4).alias("max_value"),
-        F.round(F.col("sv") / F.col("n"), 4).alias("avg_value"),
+        # avg from the ROUNDED sum: the raw sums differ in the last ulp
+        # across engines/runs (addition order), and fixture values make
+        # sv/n land exactly on round-half boundaries; dividing identical
+        # rounded doubles is deterministic on both sides (§5.3)
+        F.round(F.round(F.col("sv"), 4) / F.col("n"), 4).alias("avg_value"),
     )
 
 
