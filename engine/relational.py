@@ -1407,3 +1407,44 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     p = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
     return f.exceptAll(p)
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join — the skew pattern for when one join key is so
+    hot a single reducer drowns: the BIG side gets a deterministic salt
+    (hash of its row key, never rand()), the SMALL side is replicated once
+    per salt value (explode over 0..7), and the join runs on (key, salt) —
+    splitting each hot key's rows across 8 reducers. Results are identical
+    to the plain join (the oracle IS the plain join). AQE's skew-join
+    handles row-count skew automatically; explicit salting is for when the
+    per-key JOIN STATE (build-side rows × probe matches) is the bottleneck,
+    and it composes with two-stage agg (see agg_salted_skew)."""
+    t = load_tables(spark, sf_dir)
+    n_salt = 8
+    big = t["orders"].withColumn(
+        "_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    small = t["customer"].withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1)))
+    )
+    return (
+        big.join(
+            small,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (big["_salt"] == small["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
