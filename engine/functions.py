@@ -460,3 +460,28 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(o_orderkey, 3)").alias("shr3"),
         F.expr("cast(bit_count(o_orderkey) as int)").alias("popcnt"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'standard polished brass') AS INTEGER) AS dist_ref,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS dist_brand
+    FROM part WHERE p_size <= 10
+    """,
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface (levenshtein) — the fuzzy-match primitive for
+    name/title dedup when token-level methods are too coarse. Identical
+    classic-DP semantics in Spark and DuckDB (hash-verified). At scale,
+    never all-pairs: generate candidates by blocking (LSH, prefixes,
+    length bands — see engine/similarity.py) and run edit distance only
+    inside blocks."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.where(F.col("p_size") <= 10).select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein("p_name", F.lit("standard polished brass")).cast("int").alias("dist_ref"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("int").alias("dist_brand"),
+    )

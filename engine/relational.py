@@ -1448,3 +1448,32 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (GK sketch) vs exact, bounds-checked
+    in-query per group (rows-only oracle: the sketch has no DuckDB twin;
+    the exact side is separately oracle-checked by agg_percentile). At
+    100 TB exact percentiles need a full sort per group — the sketch is
+    one pass, mergeable across partitions, and the default at scale."""
+    o = load_tables(spark, sf_dir)["orders"]
+    df = o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", 0.5, 1000).alias("approx_p50"),
+        F.approx_percentile("o_totalprice", 0.9, 1000).alias("approx_p90"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact_p90"),
+    )
+    return df.select(
+        "o_orderstatus",
+        F.round("approx_p50", 4).alias("approx_p50"),
+        F.round("approx_p90", 4).alias("approx_p90"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.02 * F.col("exact_p50")
+        ).alias("p50_within_2pct"),
+        (
+            F.abs(F.col("approx_p90") - F.col("exact_p90"))
+            <= 0.02 * F.col("exact_p90")
+        ).alias("p90_within_2pct"),
+    )
