@@ -1477,3 +1477,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("exact_p90")
         ).alias("p90_within_2pct"),
     )
+
+
+def _zorder_expr(a: str, b: str, bits: int = 6) -> str:
+    """Bit-interleave SQL for a 2-D Z-value — textually identical in Spark
+    SQL and DuckDB, so both engines evaluate the very same expression."""
+    return " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey, p_size,
+             CAST(least(floor(p_retailprice / 40), 63) AS BIGINT) AS pb
+      FROM part
+    )
+    SELECT p_partkey, p_size, pb, {_zorder_expr('p_size', 'pb')} AS zval
+    FROM t
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values: interleave the bits of two dimensions
+    (p_size and a 6-bit price bucket) into one sort key. Sorting/writing a
+    table by zval clusters rows that are close in BOTH dimensions into the
+    same parquet row groups, so min/max statistics prune scans for range
+    predicates on EITHER column — the standard multi-dimensional layout
+    trick (Delta/Iceberg OPTIMIZE ZORDER) expressed as a plain column.
+    The interleave is one arithmetic expression (whole-stage codegen,
+    per-row, no shuffle); at 100 TB the layout job is
+    repartitionByRange(zval) + sortWithinPartitions(zval) + write."""
+    p = load_tables(spark, sf_dir)["part"]
+    t = p.select(
+        "p_partkey",
+        "p_size",
+        F.least(F.floor(F.col("p_retailprice") / 40), F.lit(63))
+        .cast("long")
+        .alias("pb"),
+    )
+    return t.select(
+        "p_partkey", "p_size", "pb", F.expr(_zorder_expr("p_size", "pb")).alias("zval")
+    )
