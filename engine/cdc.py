@@ -468,3 +468,109 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_type="delta",
     )
     return incremental_upsert_evolved(prev, delta, spec_new)
+
+
+CUSTOMER_SPEC = SourceSpec(
+    name="customer",
+    key_cols=("c_custkey",),
+    tracked_cols=("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+)
+
+_SQL_CUST_FP = """
+    md5(concat_ws('||', coalesce(CAST(c_custkey AS VARCHAR), '<NULL>'))) AS key_hash,
+    md5(concat_ws('||',
+        coalesce(CAST(c_name AS VARCHAR), '<NULL>'),
+        coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>'),
+        coalesce(CAST(c_acctbal AS VARCHAR), '<NULL>'),
+        coalesce(CAST(c_mktsegment AS VARCHAR), '<NULL>'))) AS nonkey_hash
+"""
+
+_SQL_CUST_DIFF = f"""
+    WITH prev AS (SELECT * FROM customer WHERE c_custkey % 9 <> 0),
+    curr AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 8 <> 0
+    ),
+    p AS (SELECT *, {_SQL_CUST_FP} FROM prev),
+    c AS (SELECT *, {_SQL_CUST_FP} FROM curr),
+    j AS (
+      SELECT c.key_hash AS c_kh, p.key_hash AS p_kh,
+             c.nonkey_hash AS c_nh, p.nonkey_hash AS p_nh,
+             CASE WHEN c.key_hash IS NULL THEN p.c_acctbal ELSE c.c_acctbal END AS c_acctbal
+      FROM c FULL OUTER JOIN p ON c.key_hash = p.key_hash
+    )
+    SELECT CASE WHEN p_kh IS NULL THEN 'I'
+                WHEN c_kh IS NULL THEN 'D'
+                WHEN c_nh <> p_nh THEN 'U'
+                ELSE 'N' END AS op,
+           c_acctbal
+    FROM j
+"""
+
+
+@query(
+    "cdc_multi_source",
+    oracle=f"""
+    SELECT 'orders' AS source, op, count(*) AS n,
+           round(sum(o_totalprice), 2) AS checksum
+    FROM ({_SQL_DIFF}) GROUP BY op
+    UNION ALL
+    SELECT 'customer' AS source, op, count(*) AS n,
+           round(sum(c_acctbal), 2) AS checksum
+    FROM ({_SQL_CUST_DIFF}) GROUP BY op
+    """,
+)
+def cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven multi-source run — the reference's operational shape:
+    one invocation processes a LIST of configured sources, each with its
+    own key/tracked columns, through the same diff machinery. Here two
+    differently-shaped sources (orders, customer) run through one generic
+    loop over SourceSpecs; per-source I/U/D/N counts + checksum come back
+    as one result. Each source's diff is an independent lazy plan — on a
+    cluster they execute as parallel job groups sharing the session;
+    adding a source is adding a SourceSpec, not code. Customer fixture
+    derivation: prev = c_custkey % 9 <> 0; curr = c_custkey % 8 <> 0 with
+    c_acctbal+1 where c_custkey % 5 = 0."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    runs = [
+        (
+            ORDERS_SPEC,
+            o.where(F.col("o_orderkey") % 10 != 0),
+            o.where(F.col("o_orderkey") % 11 != 0).withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            "o_totalprice",
+        ),
+        (
+            CUSTOMER_SPEC,
+            t["customer"].where(F.col("c_custkey") % 9 != 0),
+            t["customer"]
+            .where(F.col("c_custkey") % 8 != 0)
+            .withColumn(
+                "c_acctbal",
+                F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1).otherwise(
+                    F.col("c_acctbal")
+                ),
+            ),
+            "c_acctbal",
+        ),
+    ]
+    outs = []
+    for spec, prev, curr, amount_col in runs:
+        d = snapshot_diff(prev, curr, spec)
+        outs.append(
+            d.groupBy("op").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(amount_col), 2).alias("checksum"),
+            ).select(F.lit(spec.name).alias("source"), "op", "n", "checksum")
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
