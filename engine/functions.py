@@ -485,3 +485,28 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", F.lit("standard polished brass")).cast("int").alias("dist_ref"),
         F.levenshtein("p_brand", F.lit("Brand#11")).cast("int").alias("dist_brand"),
     )
+
+
+@query(
+    "fn_encode_decode",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(encode(p_brand)) AS b64,
+           hex(encode(p_brand)) AS hx,
+           CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes
+    FROM part WHERE p_size <= 5
+    """,
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode surface: base64 / hex / byte length — the plumbing
+    layer for the multimodal binary columns (engine/udf.py) where payloads
+    travel as bytes and manifests carry encoded digests. ASCII fixture
+    strings encode identically in UTF-8 on both engines."""
+    p = load_tables(spark, sf_dir)["part"]
+    b = F.col("p_brand").cast("binary")
+    return p.where(F.col("p_size") <= 5).select(
+        "p_partkey",
+        F.base64(b).alias("b64"),
+        F.upper(F.hex(b)).alias("hx"),
+        F.octet_length("p_name").cast("int").alias("n_bytes"),
+    )
