@@ -1521,3 +1521,40 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "p_partkey", "p_size", "pb", F.expr(_zorder_expr("p_size", "pb")).alias("zval")
     )
+
+
+@query(
+    "agg_observed_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) FILTER (WHERE o_totalprice > 400000) AS n_big
+    FROM orders
+    """,
+)
+def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation API — data-quality counters collected as a SIDE EFFECT
+    of an action the pipeline already runs, with no second pass over the
+    data: metrics accumulate per-task inside the existing job (the same
+    AccumulatorV2 machinery as Spark's own SQL metrics) and surface on the
+    driver when the action finishes. This is how a 100 TB ingest reports
+    row counts / checksums / violation counts without paying for a
+    separate aggregation job. The observed values are returned as a 1-row
+    DataFrame so the oracle can hash-match them against a direct
+    aggregation."""
+    from pyspark.sql import Observation
+
+    o = load_tables(spark, sf_dir)["orders"]
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.when(F.col("o_totalprice") > 400000, 1)).alias("n_big"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["total"]), m["n_big"])],
+        "n_rows long, total double, n_big long",
+    )
