@@ -592,3 +592,84 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("raw"), F.lit(email)).cast("int").alias("n_emails"),
         F.regexp_count(F.col("raw"), F.lit(phone)).cast("int").alias("n_phones"),
     )
+
+
+@query(
+    "llm_minhash_verified",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+    ), mh AS (
+      SELECT doc_id,
+             min(md5(shingle || '#0')) AS h0, min(md5(shingle || '#1')) AS h1,
+             min(md5(shingle || '#2')) AS h2, min(md5(shingle || '#3')) AS h3,
+             min(md5(shingle || '#4')) AS h4, min(md5(shingle || '#5')) AS h5,
+             min(md5(shingle || '#6')) AS h6, min(md5(shingle || '#7')) AS h7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM mh
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM mh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-VERIFIED MinHash-LSH: md5 hash family (8 seeded
+    permutation proxies, 4 bands × 2 rows), so the full
+    shingle → signature → band → candidate-pair pipeline hash-matches
+    DuckDB bit for bit — the only non-deterministic-looking stage of the
+    dedup family made auditable. The production twin
+    (llm_near_dedup_minhash) runs the same shape on xxhash64, ~10× faster
+    per hash but JVM-only. Per-doc work is 8 array folds over the
+    distinct-shingle array (tokenization is inlined per fold by Catalyst —
+    cheap next to the md5s); the band self-join is per-bucket, never n²."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ts = F.split("text", " ")
+    docs = d.select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(ts) - 2),"
+            " i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"
+        )
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(sh, x -> md5(concat(x, '#{s}')))")
+        ).alias(f"h{s}")
+        for s in range(8)
+    ]
+    mh = docs.select("doc_id", sh.alias("sh")).select("doc_id", *mins)
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("sig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
