@@ -34,6 +34,15 @@ HEADLINE = [
     "llm_centroids",
 ]
 
+#: timed and reported per-query, but EXCLUDED from the headline total so
+#: "value" stays comparable with BASELINE.md's original 8-query sum
+EXTRA = [
+    "llm_minhash_verified",
+    "llm_dedup_clusters",
+    "llm_pii_scrub",
+    "cdc_multi_source",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,7 +55,7 @@ def main() -> None:
     spark.range(1_000_000).count()  # JVM/codegen warm-up
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(5):  # report min: robust to host scheduling noise
@@ -64,7 +73,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_warm_total",
-                "value": round(sum(times.values()), 4),
+                "value": round(sum(times[n] for n in HEADLINE), 4),
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
