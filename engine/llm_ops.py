@@ -673,3 +673,48 @@ def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS emn,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS emx
+      FROM embeddings
+    )
+    SELECT vec_id, round(emn, 6) AS mn, round(emx, 6) AS mx,
+           list_transform(embedding,
+             x -> CAST(round((CAST(x AS DOUBLE) - emn) / (emx - emn) * 255, 0)
+                  AS INTEGER)) AS q
+    FROM t
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) quantization — the storage op that makes a
+    100 TB float32 embedding table a 25 TB int8 one: each vector stores
+    its own (min, max) scale and 1-byte codes; dequantization is
+    mn + q/255*(mx-mn), with bounded error (mx-mn)/510 per dimension —
+    accurate enough for ANN candidate generation, with exact re-ranking on
+    the float originals of the shortlist only. All per-row array
+    expressions (whole-stage codegen, no shuffle); quantized codes
+    hash-match DuckDB exactly because both engines run the identical
+    float64 arithmetic on the same float32 inputs."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    d = F.expr("transform(embedding, x -> cast(x as double))")
+    t = e.select(
+        "vec_id",
+        "embedding",
+        F.array_min(d).alias("emn"),
+        F.array_max(d).alias("emx"),
+    )
+    return t.select(
+        "vec_id",
+        F.round("emn", 6).alias("mn"),
+        F.round("emx", 6).alias("mx"),
+        F.expr(
+            "transform(embedding, x -> cast(round((cast(x as double) - emn)"
+            " / (emx - emn) * 255, 0) as int))"
+        ).alias("q"),
+    )
