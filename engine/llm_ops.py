@@ -718,3 +718,57 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (emx - emn) * 255, 0) as int))"
         ).alias("q"),
     )
+
+
+@query(
+    "llm_contamination_check",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(text) - 7),
+                            i -> md5(substr(text, i, 8))) AS grams
+      FROM documents WHERE len(text) >= 11
+    ), fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(grams) - 3),
+               j -> list_min(grams[j:j+3])))) AS fp
+      FROM g
+    ), rare AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10
+    ), f2 AS (
+      SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+    )
+    SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM f2 t JOIN f2 b ON t.fp = b.fp AND t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — distinct from dedup: find training docs
+    that share winnowing fingerprints with a held-out benchmark set (here
+    the deterministic 2% slice doc_id % 50 = 0), so evaluation data can be
+    scrubbed from the training corpus. Matching is fp-key joins, never
+    doc × doc; ubiquitous fingerprints are dropped by a df-ceiling
+    (doc-frequency ≤ 10 — the same skew guard as llm_ngram_jaccard: a
+    boilerplate gram shared by everything is evidence of nothing and
+    would go quadratic); ≥ 2 shared rare fingerprints ⇒ a flagged pair.
+    At 100 TB: fingerprints are precomputed once (llm_doc_fingerprint's
+    layout), the benchmark side is tiny and BROADCAST, so the check is
+    one map-side join over the corpus fingerprints."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.length("text") >= 11)
+    fp = winnow_fingerprints(d, id_col="doc_id", text_col="text")
+    rare = fp.groupBy("fp").count().where(F.col("count") <= 10).select("fp")
+    f2 = fp.join(rare, "fp")
+    train = f2.where(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_id"), "fp"
+    )
+    bench = f2.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "fp"
+    )
+    return (
+        train.join(F.broadcast(bench), "fp")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
