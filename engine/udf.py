@@ -260,3 +260,31 @@ def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(sample_frames, out_schema)
+
+
+@query(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_words
+    FROM documents
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (SCALAR_ITER): the function receives the
+    whole stream of Arrow batches for its partition, so EXPENSIVE
+    PER-PARTITION INIT (compiling a pattern here; loading a tokenizer or
+    model checkpoint in a real LLM pipeline) runs once per task instead of
+    once per batch — the canonical shape for model-assisted scoring over
+    100 TB. The mirror SQL proves the Python path computes exactly what
+    the declarative regex engine computes."""
+    import re
+
+    @F.pandas_udf("int")
+    def n_words(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = re.compile(r"[a-z]+")  # once per task, amortized over batches
+        for s in batches:
+            yield s.map(lambda t: len(pat.findall(t))).astype("int32")
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", n_words("text").alias("n_words"))
