@@ -1558,3 +1558,40 @@ def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], float(m["total"]), m["n_big"])],
         "n_rows long, total double, n_big long",
     )
+
+
+@query(
+    "win_fill_forward",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase' THEN round(value, 4) END AS v
+      FROM events
+    )
+    SELECT user_id, event_id, ts, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM e
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (gap filling): carry each user's last observed value
+    (purchases here; sensor readings in the general case) across the
+    sparse rows between observations — `last(..., ignorenulls=True)` over
+    a running frame, the standard time-series imputation. One shuffle on
+    the partition key serves the whole fill; rows before a user's first
+    observation stay NULL (no lookahead — leakage-safe)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "purchase", F.round("value", 4)).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
