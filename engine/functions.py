@@ -510,3 +510,27 @@ def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.hex(b)).alias("hx"),
         F.octet_length("p_name").cast("int").alias("n_bytes"),
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           o_orderdate - INTERVAL 1 MONTH AS month_before,
+           o_orderdate + INTERVAL 36 HOUR AS grace_ts
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ± INTERVAL arithmetic (day / month / sub-day units) — the
+    complement of fn_date_arith's datediff/add_months surface. INTERVAL
+    literals parse identically in Spark SQL and DuckDB; month arithmetic
+    follows the same end-of-month clamping rules in both engines."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 90 DAY").alias("due_date"),
+        F.expr("o_orderdate - INTERVAL 1 MONTH").alias("month_before"),
+        F.expr("o_orderdate + INTERVAL 36 HOUR").alias("grace_ts"),
+    )

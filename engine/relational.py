@@ -1595,3 +1595,34 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bin
+      FROM orders
+    )
+    SELECT bin, bin * 50000 AS lo, (bin + 1) * 50000 AS hi, count(*) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the data-profiling primitive: bucket id is
+    a pure projection (floor of value / width, clamped to a top bin), so
+    the histogram is one map-side-combined aggregation over at most
+    n_bins groups regardless of data size; no sort, no percentile pass.
+    Profiling a 100 TB column costs one scan."""
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11))
+        .cast("long")
+        .alias("bin")
+    )
+    return b.groupBy("bin").agg(F.count("*").alias("n")).select(
+        "bin",
+        (F.col("bin") * 50000).alias("lo"),
+        ((F.col("bin") + 1) * 50000).alias("hi"),
+        "n",
+    )
