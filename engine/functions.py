@@ -534,3 +534,45 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("o_orderdate - INTERVAL 1 MONTH").alias("month_before"),
         F.expr("o_orderdate + INTERVAL 36 HOUR").alias("grace_ts"),
     )
+
+
+@query(
+    "fn_trig_geo",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 180) - 90 + 0.5 AS lat,
+             ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+      FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(48.85 - lat) / 2), 2) +
+             cos(radians(lat)) * cos(radians(48.85)) *
+             pow(sin(radians(2.35 - lon) / 2), 2)
+           )), 6) AS dist_km
+    FROM pts
+    """,
+)
+def fn_trig_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometry surface via the haversine great-circle distance
+    (sin/cos/asin/radians/pow/sqrt) to a fixed point, on lat/lon synthesized
+    deterministically from the key. Both engines evaluate the same IEEE-754
+    double pipeline through libm, so 6dp rounding hash-matches. Pure
+    projection — codegen'd, no shuffle."""
+    c = load_tables(spark, sf_dir)["customer"]
+    lat = (F.col("c_custkey") % 180) - 90 + 0.5
+    lon = ((F.col("c_custkey") * 7) % 360) - 180 + 0.5
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    hav = (
+        F.pow(F.sin(F.radians(F.lit(48.85) - F.col("lat")) / 2), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians(F.lit(48.85)))
+        * F.pow(F.sin(F.radians(F.lit(2.35) - F.col("lon")) / 2), 2)
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 6).alias("dist_km"),
+    )

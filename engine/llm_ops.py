@@ -772,3 +772,76 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT *, sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+      FROM t
+    ), b AS (
+      SELECT source, CAST(floor(start_off / 512) AS BIGINT) AS bin, doc_id, n_tok FROM c
+    )
+    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM b GROUP BY source, bin
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concat-and-chunk. Documents are
+    laid end-to-end in deterministic (shard, doc_id) order; a doc's bin is
+    its starting token offset div the context budget (512 here), i.e. the
+    chunk a tokenizer writer would start it in. Packing is per-shard
+    (``source``), which is exactly the 100 TB shape: one cumulative-sum
+    window per shard partition, no global sort, shards pack independently
+    on their own executors."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tok = F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " ")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        c.withColumn("bin", F.floor(F.col("start_off") / 512))
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 97 <
+          CASE WHEN lang = 'en' THEN 10 ELSE 49 END
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (~10% for
+    the dominant 'en', ~50% elsewhere) via multiplicative key hashing —
+    the corpus-rebalancing step of LLM data curation. Membership depends
+    only on (doc_id, lang): stable across reruns, partitionings, and
+    engines (the oracle proves it), unlike rand()-based TABLESAMPLE.
+    Pure projection + filter: pushed to the scan, no shuffle at any
+    scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(97))
+    rate = F.when(F.col("lang") == "en", 10).otherwise(49)
+    return d.where(h < rate).select("doc_id", "lang", "source")

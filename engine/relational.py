@@ -1626,3 +1626,209 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("bin") + 1) * 50000).alias("hi"),
         "n",
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): three measure columns become (metric, val)
+    rows via ``DataFrame.unpivot`` — the inverse of ``agg_pivot``. Expand
+    is a pure projection (one scan, no shuffle, stays in whole-stage
+    codegen); the 3× row blow-up happens pipelined, never materialized.
+    The oracle spells it as UNION ALL, the portable ANSI formulation."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") % 101 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT c_mktsegment AS segment,
+           first_value(c_name) OVER w AS top_name,
+           nth_value(c_name, 3) OVER w AS third_name,
+           last_value(c_name) OVER w AS bottom_name
+    FROM customer
+    WINDOW w AS (
+      PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values: first / nth(3) / last customer name per
+    market segment by account balance. The frame is explicitly the FULL
+    partition — last_value under the default frame (… AND CURRENT ROW) is
+    the classic silent bug; order carries the c_custkey tie-breaker
+    (SURVEY §5.3). One shuffle on the partition key."""
+    c = load_tables(spark, sf_dir)["customer"]
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.first("c_name").over(w).alias("top_name"),
+            F.nth_value("c_name", 3).over(w).alias("third_name"),
+            F.last("c_name").over(w).alias("bottom_name"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode with a deterministic tie-break (count desc, then value) —
+    built-in ``F.mode`` is nondeterministic among ties, which would break
+    the hash-match oracle. Shape: count-per-(group,value) hash agg (map-side
+    combined) then a window over the tiny distinct-combination set — the
+    heavy lifting happens in the combine, the window sees ~|groups×values|
+    rows regardless of input size."""
+    o = load_tables(spark, sf_dir)["orders"]
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'signup' AS event_type, (SELECT count(*) FROM s) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked at/after
+    signup, then purchased at/after that click — the product-analytics
+    staple. Each stage is one groupBy-min plus one join on user_id; the
+    per-stage frontier shrinks monotonically, so every later join is
+    smaller than the last and AQE broadcast-converts them. Hot users
+    (events.user_id is deliberately skewed) stress the first join — at
+    100 TB the stage-1 aggregate is map-side combined before the shuffle,
+    so skew hits the combine, not the reducers."""
+    e = load_tables(spark, sf_dir)["events"].select("user_id", "event_type", "ts")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count("*").cast("long").alias("users"),
+        )
+
+    return stage(s, 1, "signup").unionAll(stage(c, 2, "click")).unionAll(
+        stage(p, 3, "purchase")
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), d AS (
+      SELECT user_id, value,
+             (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+               / 1e6 AS dt_sec
+      FROM e
+    )
+    SELECT user_id,
+           round(sum(value * dt_sec) / sum(dt_sec), 6) AS twa,
+           round(sum(dt_sec), 6) AS total_sec
+    FROM d WHERE dt_sec IS NOT NULL AND dt_sec > 0
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a sampled signal per user: each reading is
+    weighted by how long it was current (lead(ts) - ts). The time-series
+    aggregation that plain avg() gets wrong on irregular samples. One
+    shuffle on user_id serves both the lead window and the final group-by
+    (same partitioning reused, no second exchange); zero-duration readings
+    (duplicate timestamps) carry zero weight and are dropped identically
+    on both engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        e.select("user_id", "value", "event_id", F.expr("ts_ns div 1000").alias("us"))
+        .withColumn("dt_sec", (F.lead("us").over(w) - F.col("us")) / 1e6)
+        .where(F.col("dt_sec").isNotNull() & (F.col("dt_sec") > 0))
+    )
+    return d.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt_sec")) / F.sum("dt_sec"), 6).alias("twa"),
+        F.round(F.sum("dt_sec"), 6).alias("total_sec"),
+    )

@@ -288,3 +288,75 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return d.select("doc_id", n_words("text").alias("n_words"))
+
+
+@query(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+             CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END AS c_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT event_id, user_id, ts, kind,
+             last_value(c_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_click_ts
+      FROM ev
+    )
+    SELECT event_id, user_id, ts, last_click_ts FROM w WHERE kind = 1
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: purchases and clicks are cogrouped per
+    user_id and merged with ``pd.merge_asof`` (backward, exact matches
+    allowed) — the pandas-native as-of join. Same semantics and same
+    oracle as ``join_asof``'s union+window formulation; this key exists to
+    exercise the ``cogroup().applyInPandas`` extension point, where BOTH
+    sides of a key arrive as whole pandas frames in one Python call.
+
+    Scale posture: one shuffle of each side on user_id; per-group work is
+    O(n log n) in that user's rows only. Hot users make hot groups — for
+    skewed keys prefer the declarative window form (AQE splits its
+    shuffle), and reserve cogroup for logic pandas alone can express."""
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "last_click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        left = left.sort_values(["ts", "event_id"])
+        if len(right) == 0:
+            out = left.copy()
+            out["last_click_ts"] = pd.Series(pd.NaT, index=out.index, dtype=left["ts"].dtype)
+            return out[["event_id", "user_id", "ts", "last_click_ts"]]
+        right = (
+            right.sort_values("ts")
+            .rename(columns={"ts": "last_click_ts"})
+            .drop(columns=["user_id"])
+        )
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="last_click_ts", direction="backward"
+        )
+        return out[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, ts timestamp_ntz, last_click_ts timestamp_ntz",
+        )
+    )
