@@ -714,6 +714,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     labels = verts.select(F.col("u").alias("id"), F.col("u").alias("lbl"))
+    # labels only ever DECREASE (every assignment is a min), so the label
+    # sum is a strictly-decreasing convergence witness: unchanged sum ⇔
+    # fixpoint. Checking it is one scan of the just-checkpointed frame —
+    # no join against the previous round's labels.
+    prev_sum = None
     while True:
         prop = (
             adj.join(labels, adj["v"] == labels["id"])
@@ -732,15 +737,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id").alias("vec_id"), F.col("lbl").alias("cluster_id"))
 
 
