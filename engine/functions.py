@@ -576,3 +576,68 @@ def fn_trig_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 6).alias("dist_km"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT c_custkey,
+             'https://' || lower(c_mktsegment) || '.example.com/u/'
+               || c_custkey || '/profile?q=' || c_nationkey AS url
+      FROM customer
+    )
+    SELECT c_custkey, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'q=([^&]+)', 1) AS q_param
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via ``parse_url`` (HOST / PATH / QUERY-key) over
+    deterministically synthesized URLs — the web-corpus provenance
+    primitive (host-level dedup, domain filtering, CC-style URL keys all
+    start here). The oracle mirrors with regexes, proving the built-in's
+    semantics. Pure codegen'd projection, no shuffle at any scale."""
+    c = load_tables(spark, sf_dir)["customer"]
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/u/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("/profile?q="),
+        F.col("c_nationkey").cast("string"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )
+
+
+@query("fn_aes_roundtrip")
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level tokenization: AES-ECB encrypt of a PII-ish column with
+    a fixed key — deterministic (ECB, no IV), so equal plaintexts map to
+    equal ciphertexts and the encrypted column still supports joins and
+    groupBys (the classic governance trade-off, documented here on
+    purpose; GCM mode would be semantically secure but nondeterministic).
+    Self-validating rows-only oracle (DuckDB ships no AES): each row
+    carries roundtrip_ok = decrypt(encrypt(x)) == x, plus the hex token
+    prefix. JVM-side crypto — no Python crossing, scan-speed at scale."""
+    c = load_tables(spark, sf_dir)["customer"]
+    key = F.lit("0123456789abcdef")  # 16-byte demo key; injected config in prod
+    enc = F.aes_encrypt(F.col("c_name").cast("binary"), key, F.lit("ECB"))
+    dec = F.aes_decrypt(F.col("enc"), key, F.lit("ECB")).cast("string")
+    return (
+        c.select("c_custkey", "c_name", enc.alias("enc"))
+        .select(
+            "c_custkey",
+            F.upper(F.substring(F.hex("enc"), 1, 16)).alias("token_prefix"),
+            (dec == F.col("c_name")).alias("roundtrip_ok"),
+        )
+    )

@@ -358,3 +358,49 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@query(
+    "join_dpp_prune",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) % 2 = 0
+    GROUP BY year(o_orderdate)
+    """,
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned by
+    year; the query joins it to a small calendar dim filtered on an
+    attribute (is_even) that only exists dim-side. Catalyst broadcasts the
+    filtered dim AND reuses that broadcast as a runtime partition filter on
+    the fact scan (`dynamicpruning` subquery — asserted in
+    tests/test_plans.py), so non-qualifying partitions are never read.
+    This is THE 100 TB star-join pattern: a date-dim predicate prunes the
+    fact scan to the matching partitions without the user naming them."""
+    t = load_tables(spark, sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/engine_dpp_{os.getpid()}/orders_{sf_tag}"
+    if not os.path.exists(path):
+        (
+            t["orders"]
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    dim = spark.range(1990, 2010).select(
+        F.col("id").cast("int").alias("year"),
+        (F.col("id") % 2 == 0).alias("is_even"),
+    )
+    return (
+        fact.join(F.broadcast(dim.where("is_even")), fact["o_year"] == F.col("year"))
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -845,3 +845,47 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(97))
     rate = F.when(F.col("lang") == "en", 10).otherwise(49)
     return d.where(h < rate).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text <> ''
+    ), tf AS (
+      SELECT term, count(*) AS n FROM tok GROUP BY term
+    ), tot AS (
+      SELECT sum(n) AS total FROM tf
+    ), scored AS (
+      SELECT t.doc_id, -ln(f.n / (SELECT total FROM tot)) AS surprisal
+      FROM tok t JOIN tf f ON t.term = f.term
+    )
+    SELECT doc_id,
+           round(avg(surprisal), 6) AS avg_surprisal,
+           count(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM surprisal per document — the perplexity-proxy quality
+    filter: score each doc by the mean -ln p(token) under the corpus's own
+    unigram distribution; rare-token-dense docs (boilerplate, garbage,
+    wrong-language) score high. Two aggregations + one join: term
+    frequencies are a map-side-combined count (vocab ≪ corpus), the
+    corpus total rides along as a broadcast scalar, and the token→tf join
+    broadcasts the vocab. No shuffle touches the token stream twice."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        d.where(F.col("text") != "")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    scored = tok.join(F.broadcast(tf), "term").join(F.broadcast(total)).select(
+        "doc_id", (-F.log(F.col("n") / F.col("total"))).alias("surprisal")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+        F.count("*").alias("n_tokens"),
+    )

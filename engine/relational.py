@@ -1832,3 +1832,39 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value") * F.col("dt_sec")) / F.sum("dt_sec"), 6).alias("twa"),
         F.round(F.sum("dt_sec"), 6).alias("total_sec"),
     )
+
+
+@query("agg_hll_sketch_merge")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark 3.5+): one HLL sketch per market segment, then the GLOBAL
+    estimate computed by UNIONING the per-segment sketches — never
+    rescanning the data. This is the 100 TB pattern for distinct counts
+    over rollup hierarchies: partial sketches are tiny (~KB), commutative,
+    and re-aggregable at any grain (hour→day→month) for one scan's cost.
+    Self-validating rows-only oracle: each row carries the exact distinct
+    count and whether the estimate landed within ±3% (HLL lgK=12 gives
+    ~1.6% rse; 3% ≈ 2σ)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    per_seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey", 12).alias("sk"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    seg = per_seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.hll_sketch_estimate("sk").alias("estimate"),
+        "exact",
+    )
+    glob = per_seg.agg(
+        F.lit("__ALL__").alias("segment"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+        F.sum("exact").alias("exact"),  # segments partition custkeys: sum = global distinct
+    )
+    return seg.unionByName(glob).select(
+        "segment",
+        "estimate",
+        "exact",
+        (F.abs(F.col("estimate") - F.col("exact")) <= F.col("exact") * 0.03).alias(
+            "within_3pct"
+        ),
+    )

@@ -110,3 +110,11 @@ def test_range_bucketized_is_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in s or "ShuffledHashJoin" in s or "SortMergeJoin" in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """join_dpp_prune: the dim-side filter must become a runtime partition
+    filter on the fact scan (dynamic partition pruning), not a post-scan
+    filter over all partitions."""
+    s = _plan(spark, "join_dpp_prune", sf_dir)
+    assert "dynamicpruning" in s, "no dynamic partition pruning subquery in plan"
