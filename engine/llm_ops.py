@@ -889,3 +889,71 @@ def llm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
         F.count("*").alias("n_tokens"),
     )
+
+
+@query(
+    "llm_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, count(*) AS doclen FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), qterms AS (
+      SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3
+    ), scored AS (
+      SELECT t.doc_id,
+             sum(
+               ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1) *
+               t.tf * 2.2 /
+               (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.doclen / s.avgdl))
+             ) AS score,
+             count(*) AS n_hits
+      FROM tf t
+      JOIN qterms q ON t.term = q.term
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, n_hits
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) — the standard keyword
+    scorer, here over the corpus's own 3 highest-df terms as the query
+    (deterministic, no external input). Shape at scale: tf is one
+    map-combined aggregation over the token stream; doc lengths and the
+    (n_docs, avgdl) scalars are tiny aggregates; query terms and corpus
+    stats BROADCAST into the scoring join, so the token stream shuffles
+    once on doc_id and never on term. Scores rounded to 6dp BEFORE the
+    top-20 order (float tie discipline, SURVEY §5.3)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        d.where(F.col("text") != "")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(3)
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    bm25 = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(bm25), 6).alias("score"), F.count("*").alias("n_hits"))
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)

@@ -1868,3 +1868,183 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_3pct"
         ),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pre-filtering: the selective predicate
+    lives on the orders side, so Catalyst builds a Bloom filter over the
+    filtered orders keys at runtime and injects `might_contain` into the
+    lineitem scan — rows that cannot join are dropped BEFORE the shuffle.
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~selectivity fraction that can match; the
+    exact join still runs after, so false positives cost nothing but
+    bytes (SQL oracle is exact). The application-side size threshold is
+    lowered for the demo (local data is far under the 10 GB default) and
+    restored after materialization; tests/test_plans.py asserts the
+    injected `might_contain`."""
+    t = load_tables(spark, sf_dir)
+    # Bloom injection is skipped for broadcast-able joins (a broadcast
+    # join already avoids shuffling the big side), so the demo also
+    # disables auto-broadcast — both confs restored after materialization.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            t["lineitem"]
+            .hint("merge")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+            )
+        )
+        # materialize under the lowered threshold so the bloom actually
+        # runs, then restore — the confs must not leak into other queries
+        return df.localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+@query(
+    "agg_incremental_view",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(sum(o_totalprice) / count(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the MV (per-status
+    count/sum) was built over yesterday's data (o_orderkey % 11 != 0);
+    today's delta batch (% 11 == 0) arrives and the MV is refreshed by
+    aggregating ONLY the delta and merging partials — never rescanning
+    the base. Works because count/sum are decomposable; avg is finalized
+    from merged sum/count (never averaged averages). The oracle is the
+    full recompute over everything — the merged MV must hash-match it.
+    At 100 TB: refresh cost ∝ delta size, the whole point of continuous
+    aggregates."""
+    o = load_tables(spark, sf_dir)["orders"]
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_raw")
+        )
+
+    mv_base = partials(o.where(F.col("o_orderkey") % 11 != 0))
+    delta = partials(o.where(F.col("o_orderkey") % 11 == 0))
+    merged = (
+        mv_base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("total_raw").alias("total_raw"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("total_raw", 2).alias("total"),
+        F.round(F.col("total_raw") / F.col("n_orders"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def agg_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to fixture columns: top-10 unshipped orders by
+    revenue for one market segment. Both date predicates push into the
+    scans (orders AND lineitem pruned before the join); the customer
+    filter makes that side broadcastable; global top-10 runs as
+    TakeOrderedAndProject (no full sort). Tie-break (o_orderdate,
+    l_orderkey) keeps the limit deterministic (SURVEY §5.3)."""
+    t = load_tables(spark, sf_dir)
+    cut = "1995-03-15"
+    c = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].where(F.col("o_orderdate") < F.lit(cut).cast("timestamp_ntz"))
+    li = t["lineitem"].where(F.col("l_shipdate") > F.lit(cut).cast("timestamp_ntz"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "agg_promo_revenue",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: promo revenue share for one ship month —
+    conditional aggregation over a fact⋈dim join. The month predicate
+    prunes lineitem at the scan; part is the broadcast side; the CASE
+    rides inside the single hash aggregate (one pass, two sums)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )

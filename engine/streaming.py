@@ -532,3 +532,80 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = spark.read.parquet(os.path.join(snap_dir, versions[-1]))
     return final.select(*cols).localCheckpoint(eager=True)
+
+
+@query(
+    "stream_scd2_foreachbatch",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(ts AS TIMESTAMP) AS effective_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER w AS effective_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance: each micro-batch upserts into a Type-2
+    history (effective_from / effective_to / is_current per user change).
+    The merge is INCREMENTAL per key: history rows for users untouched by
+    the batch pass through untouched (anti-join); only touched users'
+    histories are re-windowed over their own rows — per-batch work ∝
+    batch keys' history, not the full table. Order-independent: a key's
+    intervals are a pure function of its accumulated rows, so late or
+    reordered batches converge to the same history (the oracle is the
+    batch window over ALL events). The streaming twin of
+    cdc_scd2_history; versioned parquet snapshots as in
+    stream_cdc_pipeline."""
+    hist_dir = tempfile.mkdtemp(prefix="engine_scd2_")
+    cols = ["user_id", "event_id", "value", "ts"]
+
+    def scd2(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return df.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w).alias("effective_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        versions = sorted(
+            (d for d in os.listdir(hist_dir) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        )
+        inc = batch_df.select(*cols)
+        if versions:
+            prev = sp.read.parquet(os.path.join(hist_dir, versions[-1]))
+            touched = inc.select("user_id").distinct()
+            untouched = prev.join(touched, "user_id", "left_anti")
+            touched_rows = prev.join(touched, "user_id", "left_semi").select(
+                "user_id",
+                "event_id",
+                "value",
+                F.col("effective_from").alias("ts"),
+            )
+            out = untouched.unionByName(scd2(touched_rows.unionByName(inc)))
+        else:
+            out = scd2(inc)
+        out.write.mode("overwrite").parquet(os.path.join(hist_dir, f"v{batch_id}"))
+
+    s = _read_stream(spark, sf_dir, max_files=1)
+    with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
+        q = (
+            s.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    versions = sorted(
+        (d for d in os.listdir(hist_dir) if d.startswith("v")), key=lambda d: int(d[1:])
+    )
+    final = spark.read.parquet(os.path.join(hist_dir, versions[-1]))
+    return final.select(
+        "user_id", "event_id", "value", "effective_from", "effective_to", "is_current"
+    ).localCheckpoint(eager=True)

@@ -118,3 +118,44 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     filter over all partitions."""
     s = _plan(spark, "join_dpp_prune", sf_dir)
     assert "dynamicpruning" in s, "no dynamic partition pruning subquery in plan"
+
+
+def test_bloom_prefilter_injected(spark, sf_dir):
+    """join_bloom_prefilter's shape: with the application-side threshold
+    lowered, the selective orders filter must inject a runtime Bloom
+    filter (might_contain) into the lineitem side. Rebuilt here because
+    the query fn restores the conf after materializing."""
+    from engine.io import load_tables
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, sf_dir)
+        o = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            t["lineitem"]
+            .hint("merge")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        s = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "might_contain" in s, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_q3_pushes_both_date_filters(spark, sf_dir):
+    s = _plan(spark, "agg_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in s
+    assert "LessThan(o_orderdate" in s, "orders date filter not pushed"
+    assert "GreaterThan(l_shipdate" in s, "lineitem date filter not pushed"
