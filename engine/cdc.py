@@ -25,6 +25,8 @@ where ``o_orderkey % 7 = 0``. Both engines use exactly this derivation.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -574,3 +576,62 @@ def cdc_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+@query(
+    "cdc_partition_pruned_merge",
+    oracle="""
+    WITH prev AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+    ), delta AS (
+      SELECT o_orderkey, o_totalprice + 1 AS o_totalprice FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    ), merged AS (
+      SELECT * FROM delta
+      UNION ALL
+      SELECT p.* FROM prev p
+      WHERE p.o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(floor(o_orderkey / 500) AS BIGINT) AS bucket
+    FROM merged
+    """,
+)
+def cdc_partition_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned CDC merge — the 100 TB upsert shape: the snapshot
+    is laid out partitioned on a key range (bucket = key div 500); an
+    incoming delta touches few partitions, so the merge (anti-join +
+    union) reads and REWRITES only those partitions, while untouched
+    partitions are carried over untouched — never joined, never
+    rewritten. Touched buckets are derived from the delta (tiny distinct
+    collect = partition metadata, not data) and pushed as a static
+    PartitionFilter into the snapshot scan (plan-asserted in
+    tests/test_plans.py). Rewrite cost ∝ touched partitions, not table
+    size — without this, every CDC batch rewrites 100 TB."""
+    o = load_tables(spark, sf_dir)["orders"]
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    snap_path = f"/tmp/engine_cdcpart_{os.getpid()}/snap_{sf_tag}"
+    if not os.path.exists(snap_path):
+        (
+            o.where(F.col("o_orderkey") % 10 != 0)
+            .select("o_orderkey", "o_totalprice")
+            .withColumn("bucket", F.floor(F.col("o_orderkey") / 500))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(snap_path)
+        )
+    delta = (
+        o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+        .select("o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice"))
+        .withColumn("bucket", F.floor(F.col("o_orderkey") / 500))
+    )
+    snap = spark.read.parquet(snap_path)
+    touched = [r[0] for r in delta.select("bucket").distinct().collect()]
+    touched_snap = snap.where(F.col("bucket").isin(touched))
+    untouched_snap = snap.where(~F.col("bucket").isin(touched))
+    rewritten = delta.unionByName(
+        touched_snap.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    return untouched_snap.unionByName(rewritten).select(
+        "o_orderkey", "o_totalprice", F.col("bucket").cast("long").alias("bucket")
+    )

@@ -957,3 +957,53 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(bm25), 6).alias("score"), F.count("*").alias("n_hits"))
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@query(
+    "llm_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text <> ''
+    ), pairs AS (
+      SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS pr FROM t
+    ), bg AS (
+      SELECT doc_id, pr[1] || ' ' || pr[2] AS bigram
+      FROM pairs WHERE pr[2] IS NOT NULL
+    ), bgc AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           sum(n) AS n_bigrams,
+           round(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+             AS dup_frac,
+           (sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / sum(n)) > 0.1
+             AS flagged
+    FROM bgc GROUP BY doc_id
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (Gopher-style): the fraction of a doc's
+    token bigrams that are duplicates — boilerplate, keyword stuffing and
+    degenerate generations score high; flag docs above 10%. Bigrams are
+    built ARRAY-SIDE (zip_with the token array against its own tail) so
+    there's no per-token explode-then-window pass: one explode of ready
+    bigrams, one per-doc count, one per-doc rollup, all map-combinable
+    and partitioned by doc_id end to end."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bigrams = F.expr(
+        "filter(zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+    )
+    bg = (
+        d.where(F.col("text") != "")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    dup = F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+    return bgc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(dup * 1.0 / F.sum("n"), 6).alias("dup_frac"),
+        (dup * 1.0 / F.sum("n") > 0.1).alias("flagged"),
+    )

@@ -2048,3 +2048,37 @@ def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "win_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                       / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+    FROM m
+    """,
+)
+def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly revenue with month-over-month
+    percentage change — the reporting staple. The global (unpartitioned)
+    lag window is safe HERE because its input is the aggregated month
+    series (|months| rows, not |orders|): aggregate first, window the
+    partials. Windowing the raw fact on a global order would be the
+    single-partition trap."""
+    o = load_tables(spark, sf_dir)["orders"]
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )

@@ -159,3 +159,12 @@ def test_q3_pushes_both_date_filters(spark, sf_dir):
     assert "TakeOrderedAndProject" in s
     assert "LessThan(o_orderdate" in s, "orders date filter not pushed"
     assert "GreaterThan(l_shipdate" in s, "lineitem date filter not pushed"
+
+
+def test_cdc_merge_prunes_partitions(spark, sf_dir):
+    """cdc_partition_pruned_merge: the merge branch's snapshot scan must
+    carry a static bucket PartitionFilter (only touched partitions read);
+    the full plan contains the pruned scan."""
+    s = _plan(spark, "cdc_partition_pruned_merge", sf_dir)
+    assert "PartitionFilters" in s
+    assert "bucket" in s.split("PartitionFilters", 1)[1][:600]
