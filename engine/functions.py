@@ -27,7 +27,7 @@ from engine.registry import query
            substring(p_name, 1, 5) AS sub5,
            lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
            concat_ws('-', p_brand, p_type) AS brand_type,
-           string_split(p_name, ' ') AS tokens,
+           array_to_string(string_split(p_name, ' '), '|') AS tokens,
            replace(p_name, ' ', '_') AS snake
     FROM part
     """,
@@ -43,7 +43,10 @@ def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 5).alias("sub5"),
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
-        F.split("p_name", " ").alias("tokens"),
+        # array result serialized with array_join: the driver hashes final
+        # cells via pandas, which cannot hash ndarray cells (r01 lesson) —
+        # keep the split() logic, stringify only the projection.
+        F.array_join(F.split("p_name", " "), "|").alias("tokens"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
     )
 
@@ -108,24 +111,34 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_date_arith",
     oracle="""
     SELECT o_orderkey,
-           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch0,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
-           CAST(o_orderdate + INTERVAL 45 DAY AS DATE)  AS plus45d,
-           epoch(o_orderdate) AS unix_sec
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch0,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m,
+           o_orderdate + INTERVAL 45 DAY  AS plus45d,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
     FROM orders
     """,
 )
 def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic. datediff arg order flips between engines; Spark
-    add_months ≡ DuckDB + INTERVAL n MONTH (both clamp month-end)."""
+    add_months ≡ DuckDB + INTERVAL n MONTH (both clamp month-end).
+    Type discipline (r01 lesson): DuckDB epoch() yields DOUBLE and
+    date_diff yields BIGINT while Spark unix_timestamp is BIGINT and
+    datediff is INT — both sides pin BIGINT so the driver value-hash
+    (int-vs-float sensitive) agrees. Month/day offsets are emitted as
+    timestamps, not DATE: Spark DATE cells reach the hash as
+    datetime.date objects while DuckDB's .df() path yields datetime64 —
+    never equal."""
     o = load_tables(spark, sf_dir)["orders"]
     return o.select(
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")).alias(
-            "days_since_epoch0"
-        ),
-        F.add_months("o_orderdate", 3).alias("plus3m"),
-        F.date_add(F.col("o_orderdate").cast("date"), 45).alias("plus45d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("plus3m"),
+        F.date_add(F.col("o_orderdate").cast("date"), 45)
+        .cast("timestamp_ntz")
+        .alias("plus45d"),
         F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("unix_sec"),
     )
 
@@ -204,23 +217,30 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
            CAST(CAST(trunc(o_totalprice) AS INT) AS DOUBLE) AS price_int_d,
-           CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
            CAST('42' AS INT) AS lit_int,
            CAST(o_custkey AS DOUBLE) AS cust_d
     FROM orders
     """,
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cast lattice across int/double/string/date/decimal(12,2)."""
+    """Cast lattice across int/double/string/date/decimal(12,2).
+
+    The decimal lands as its canonical string ("1234.50", both engines
+    render scale-2 decimals identically) because Decimal *objects* reach
+    the driver's hash through different pandas conversions per engine
+    (DuckDB .df() → float64, Spark toPandas → object) — r01 hash FAIL."""
     o = load_tables(spark, sf_dir)["orders"]
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
         F.col("o_totalprice").cast("int").cast("double").alias("price_int_d"),
-        F.col("o_orderdate").cast("date").alias("odate"),
+        # date rendered ISO ("1995-06-14", identical in both engines) —
+        # raw DATE cells hash as date-object vs datetime64 across engines
+        F.col("o_orderdate").cast("date").cast("string").alias("odate"),
         F.lit("42").cast("int").alias("lit_int"),
         F.col("o_custkey").cast("double").alias("cust_d"),
     )
@@ -269,29 +289,44 @@ def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
-           list_transform(list_slice(embedding, 1, 3),
-                          x -> round(CAST(x AS DOUBLE), 5)) AS head3,
-           list_sort(list_distinct(list_transform(list_slice(embedding, 1, 4),
-                     x -> CAST(x > 0 AS INT)))) AS sign_set
+           array_to_string(list_transform(list_slice(embedding, 1, 3),
+                           x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)),
+                           ',') AS head3,
+           array_to_string(list_sort(list_distinct(list_transform(list_slice(embedding, 1, 4),
+                           x -> CAST(x > 0 AS INT)))), ',') AS sign_set
     FROM embeddings
     """,
 )
 def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size / element_at / slice / array_distinct / sort_array over the
     embedding vector column (float32 → cast to double before rounding,
-    since DuckDB promotes list elements to double)."""
+    since DuckDB promotes list elements to double).
+
+    Array cells are not driver-hashable (pandas ndarray, r01 crash), so
+    the final projection serializes them: head3 as comma-joined integers
+    at 1e-5 resolution (integer strings render identically everywhere;
+    raw double→string rendering does not — Java "1.0E-5" vs DuckDB
+    "1e-05"), sign_set as a joined int list. The array logic itself —
+    slice/transform/distinct/sort — is unchanged underneath."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 5).alias("e0"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 5)
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double") * 100000).cast("long").cast("string"),
+            ),
+            ",",
         ).alias("head3"),
-        F.sort_array(
-            F.array_distinct(
-                F.transform(F.slice("embedding", 1, 4), lambda x: (x > 0).cast("int"))
-            )
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(
+                    F.transform(F.slice("embedding", 1, 4), lambda x: (x > 0).cast("int"))
+                )
+            ).cast("array<string>"),
+            ",",
         ).alias("sign_set"),
     )
 
@@ -369,7 +404,7 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_ops",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS ks,
+           array_to_string(list_sort(json_keys(props)), ',') AS ks,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
            CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2
     FROM events
@@ -377,12 +412,14 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-string → MapType → map_keys / element_at. The semi-structured
-    path: parse once, then pure map ops."""
+    path: parse once, then pure map ops. Key list serialized sorted+joined
+    (map iteration order is engine-specific and array cells are not
+    driver-hashable — r01 crash)."""
     ev = load_tables(spark, sf_dir)["events"]
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
         F.element_at(m, "k").alias("k_val"),
         (F.element_at(m, "k") * 2).alias("k2"),
     )

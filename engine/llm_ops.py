@@ -137,14 +137,19 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            round(avg(n_chars), 4) AS mean_chars,
-           sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS n_empty,
-           sum(CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END) AS total_tokens
+           CAST(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(sum(CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END)
+                AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language (doc_id 0 is an empty doc — the
-    fixture edge case; token count must treat it as 0, not 1)."""
+    fixture edge case; token count must treat it as 0, not 1).
+
+    Oracle sums cast to BIGINT: DuckDB integer sum() yields HUGEINT,
+    which pandas renders as float64 while Spark's LONG stays int64 —
+    the r01 hash-mismatch mode."""
     d = load_tables(spark, sf_dir)["documents"]
     ntok = F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " ")))
     return d.groupBy("lang").agg(
@@ -364,8 +369,9 @@ def _norm2(col: str = "embedding"):
     "llm_embed_norm",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
-                          x -> round(CAST(x AS DOUBLE) / sqrt(nsq), 5)) AS unit
+           array_to_string(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / sqrt(nsq) * 100000) AS BIGINT)),
+             ',') AS unit
     FROM (SELECT vec_id, embedding,
                  list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
@@ -375,12 +381,22 @@ def _norm2(col: str = "embedding"):
 def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embedding vectors with higher-order functions — pure
     JVM codegen, no Python crossing. float32 → double BEFORE any math
-    (DuckDB promotes, so must we); 5dp terminal rounding (SURVEY §5.3)."""
+    (DuckDB promotes, so must we). The unit vector is serialized as
+    comma-joined 1e-5-scaled integers: array cells crash the driver's
+    hash, and double→string rendering differs between engines."""
     e = load_tables(spark, sf_dir)["embeddings"]
     norm = F.sqrt(_norm2())
     return e.select(
         "vec_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double") / norm, 5)).alias("unit"),
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") / norm * 100000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("unit"),
     )
 
 
@@ -391,24 +407,33 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
       FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
     ), avgs AS (
-      SELECT label, pos, round(avg(val), 5) AS a FROM ex GROUP BY label, pos
+      SELECT label, pos, CAST(round(avg(val) * 100000) AS BIGINT) AS a
+      FROM ex GROUP BY label, pos
     )
-    SELECT label, list(a ORDER BY pos) AS centroid FROM avgs GROUP BY label
+    SELECT label, array_to_string(list(a ORDER BY pos), ',') AS centroid
+    FROM avgs GROUP BY label
     """,
 )
 def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid via posexplode → (label, pos) avg →
     ordered re-collect. This is the 100 TB shape: the shuffle keys are
     (label × dim) — tiny and perfectly balanced — versus a whole-vector
-    UDAF that would buffer vectors per group."""
+    UDAF that would buffer vectors per group. Centroid serialized as
+    comma-joined 1e-5-scaled integers (driver-hashable)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
-    avgs = ex.groupBy("label", "pos").agg(F.round(F.avg(F.col("val").cast("double")), 5).alias("a"))
+    avgs = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")) * 100000).cast("long").alias("a")
+    )
     return (
         avgs.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "a"))),
+                    lambda s: s["a"].cast("string"),
+                ),
+                ",",
             ).alias("centroid")
         )
     )
@@ -461,7 +486,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_project",
     oracle="""
     SELECT d.doc_id,
-           struct_pack(lang := d.lang, n_chars := d.n_chars) AS meta,
+           to_json(struct_pack(lang := d.lang, n_chars := d.n_chars)) AS meta,
            round(CAST(e.embedding[1] AS DOUBLE), 5) AS e0
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     WHERE d.lang = 'en'
@@ -470,14 +495,17 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal row shape: typed metadata struct + vector payload in one
     row; project/filter through nested fields. Binary media columns follow
-    the same pattern (see engine/udf.py::udf_multimodal_decode)."""
+    the same pattern (see engine/udf.py::udf_multimodal_decode). The meta
+    struct is built as a real nested type, then serialized to_json at the
+    terminal projection (struct cells are not driver-hashable; both
+    engines render compact {"lang":...,"n_chars":...})."""
     t = load_tables(spark, sf_dir)
     j = t["documents"].join(
         t["embeddings"], F.col("doc_id") == F.col("vec_id")
     ).where(F.col("lang") == "en")
     return j.select(
         "doc_id",
-        F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+        F.to_json(F.struct(F.col("lang"), F.col("n_chars"))).alias("meta"),
         F.round(F.element_at("embedding", 1).cast("double"), 5).alias("e0"),
     )
 
@@ -685,9 +713,9 @@ def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, round(emn, 6) AS mn, round(emx, 6) AS mx,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(round((CAST(x AS DOUBLE) - emn) / (emx - emn) * 255, 0)
-                  AS INTEGER)) AS q
+                  AS INTEGER)), ',') AS q
     FROM t
     """,
 )
@@ -714,8 +742,8 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("emn", 6).alias("mn"),
         F.round("emx", 6).alias("mx"),
         F.expr(
-            "transform(embedding, x -> cast(round((cast(x as double) - emn)"
-            " / (emx - emn) * 255, 0) as int))"
+            "array_join(transform(embedding, x -> cast(cast(round((cast(x as double)"
+            " - emn) / (emx - emn) * 255, 0) as int) as string)), ',')"
         ).alias("q"),
     )
 
@@ -789,7 +817,8 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT source, CAST(floor(start_off / 512) AS BIGINT) AS bin, doc_id, n_tok FROM c
     )
-    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+    SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM b GROUP BY source, bin
     """,
@@ -974,7 +1003,7 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           sum(n) AS n_bigrams,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
            round(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
              AS dup_frac,
            (sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1.0 / sum(n)) > 0.1

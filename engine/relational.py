@@ -810,16 +810,17 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list sorted for determinism (collection order is otherwise
-    partition-dependent)."""
+    partition-dependent); serialized joined (array cells are not
+    driver-hashable)."""
     n = load_tables(spark, sf_dir)["nation"]
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations")
     )
 
 
@@ -1126,9 +1127,9 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 1 ELSE 0 END AS new_sess
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
-      SELECT *, sum(new_sess) OVER (
+      SELECT *, CAST(sum(new_sess) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -1169,7 +1170,8 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), daily AS (
       SELECT date_trunc('day', bucket) AS bucket, event_type,
-             sum(n) AS n, sum(sv) AS sv, min(mn) AS mn, max(mx) AS mx
+             CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv,
+             min(mn) AS mn, max(mx) AS mx
       FROM hourly GROUP BY 1, 2
     ), both_res AS (
       SELECT 'hour' AS resolution, * FROM hourly
@@ -2054,7 +2056,7 @@ def agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_mom_growth",
     oracle="""
     WITH m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY 1
     )
@@ -2072,7 +2074,9 @@ def win_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials. Windowing the raw fact on a global order would be the
     single-partition trap."""
     o = load_tables(spark, sf_dir)["orders"]
-    m = o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month")).agg(
+    # month stays timestamp_ntz: DATE output cells reach the driver's hash
+    # as datetime.date (Spark) vs datetime64 (DuckDB .df()) — never equal.
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
     w = Window.orderBy("month")

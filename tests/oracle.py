@@ -2,88 +2,127 @@
 
 For each registered key: run the Spark query and the DuckDB oracle SQL on
 the same parquet fixtures, then compare row count, sorted column names, and
-order-insensitive values. Strict by design — if this passes, the driver's
-value-hash should too, because every query fn already emits rounded floats
-and µs-truncated timestamps (SURVEY §5.3).
+order-insensitive values.
+
+Strictness contract (r01 lesson — VERDICT "What's wrong"): the driver
+canonicalizes BOTH result sets through pandas and value-hashes with full
+type sensitivity, so this replica must reproduce the same conversions or it
+over-passes:
+
+- DuckDB results come via ``.df()`` (NOT ``fetchall``): HUGEINT (integer
+  ``sum()``) and DECIMAL columns land as float64, exactly as the driver
+  sees them. Spark results come via ``toPandas``.
+- Cells carry a type tag: int ≠ float ≠ Decimal ≠ bool, so
+  ``788918400 == 788918400.0`` is a MISMATCH here (it is for the driver).
+  Int width is NOT distinguished (Spark INT vs DuckDB BIGINT hash-matched
+  in r01, e.g. fn_date_parts).
+- Complex cells (ndarray / list / map / struct) in an oracle-checked key
+  raise immediately — the driver's canonicalizer crashes on them
+  ("unhashable type: numpy.ndarray"), so final projections must serialize
+  arrays/maps to strings.
 """
 
 from __future__ import annotations
 
 import math
 import os
-from datetime import date, datetime
+from datetime import date, datetime, time, timedelta
+from decimal import Decimal
 from typing import Any
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from engine.io import TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 
 
-def duck_run(sf_dir: str, sql: str):
+def duck_run_df(sf_dir: str, sql: str) -> pd.DataFrame:
+    """Run oracle SQL with the fixture views registered; return ``.df()``
+    (pandas) so DuckDB's type conversions match what the driver hashes."""
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
             )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        return con.execute(sql).df()
     finally:
         con.close()
 
 
 def _norm_cell(v: Any) -> Any:
-    """Normalize a single value into a hashable, engine-agnostic form."""
+    """Normalize one value into a hashable, type-tagged form.
+
+    Raises TypeError on complex cells — mirrors the driver's canonicalizer
+    crashing on ndarray/dict cells, so the local suite fails BEFORE the
+    driver does.
+    """
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (np.ndarray, list, tuple, set, dict)) or hasattr(v, "asDict"):
+        raise TypeError(
+            f"complex cell {type(v).__name__!r} is not driver-hashable; "
+            "serialize arrays/maps/structs to strings in the final projection"
+        )
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return None
         # 9dp guard: queries already round their own floats coarser.
-        return round(v, 9)
+        return ("f", round(f, 9))
+    if isinstance(v, Decimal):
+        return ("d", str(v.normalize()))
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return None
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime):
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
-    if hasattr(v, "asDict"):  # pyspark Row (struct) — MUST precede tuple check
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.asDict().items()))
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    if type(v).__module__ == "numpy":  # numpy scalar
-        return _norm_cell(v.item())
+    if isinstance(v, (time, timedelta)):
+        return str(v)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
+    if v is pd.NaT:
+        return None
     return v
 
 
-def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    """Column-name-sorted, row-sorted, type-tagged canonical rows."""
+    pdf = pdf[sorted(pdf.columns)]
+    out = [
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
     out.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
     return out
 
 
 def compare(spark_df, sf_dir: str, oracle: str) -> tuple[bool, str]:
     """Return (ok, message). Mirrors the driver: count + schema + values."""
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = duck_run(sf_dir, oracle)
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_run_df(sf_dir, oracle)
 
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+        return False, (
+            f"schema mismatch: spark={sorted(s_pdf.columns)} duck={sorted(d_pdf.columns)}"
+        )
+    if len(s_pdf) != len(d_pdf):
+        return False, f"row count mismatch: spark={len(s_pdf)} duck={len(d_pdf)}"
+    sn, dn = _canon(s_pdf), _canon(d_pdf)
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
         return False, f"value mismatch, first diffs (spark, duck): {diffs}"
-    return True, f"ok ({len(s_rows)} rows)"
+    return True, f"ok ({len(s_pdf)} rows)"
 
 
 def check_key(spark, name: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
