@@ -610,8 +610,9 @@ def cdc_partition_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — without this, every CDC batch rewrites 100 TB."""
     o = load_tables(spark, sf_dir)["orders"]
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    snap_path = f"/tmp/engine_cdcpart_{os.getpid()}/snap_{sf_tag}"
-    if not os.path.exists(snap_path):
+    snap_path = f"/tmp/engine_cdcpart/snap_{sf_tag}"
+    # _SUCCESS (not bare dir): don't reuse a partially-written stale dir
+    if not os.path.exists(os.path.join(snap_path, "_SUCCESS")):
         (
             o.where(F.col("o_orderkey") % 10 != 0)
             .select("o_orderkey", "o_totalprice")

@@ -353,11 +353,27 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_array_posexplode")
+@query(
+    "fn_array_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE text <> ''
+    ), ex AS (
+      SELECT doc_id, toks,
+             generate_subscripts(toks, 1) AS i, unnest(toks) AS token
+      FROM t
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, token,
+           toks[i] = token AS pos_ok
+    FROM ex
+    """,
+)
 def fn_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """posexplode — token with position (rows-only: DuckDB's unnest has no
-    portable ordinality in 1.0). Self-check column: element_at(tokens,
-    pos+1) == token must hold for every row."""
+    """posexplode — token with position. DuckDB twin: generate_subscripts
+    aligned with unnest (same SELECT expands in lockstep), 0-based via
+    i-1. Self-check column on BOTH engines: element_at(tokens, pos+1) ==
+    token must hold for every row."""
     d = load_tables(spark, sf_dir)["documents"]
     t = d.where(F.col("text") != "").select(
         "doc_id", F.split("text", " ").alias("toks")

@@ -56,6 +56,19 @@ SESSION_CONF = {
 }
 
 
+def tmpdir(prefix: str) -> str:
+    """mkdtemp with atexit cleanup — scratch dirs (stream inputs, snapshot
+    handoffs) must not accumulate across runs (r01 ADVICE: unbounded /tmp
+    growth). Deterministic REUSABLE dirs use fixed paths instead."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply required runtime confs to an existing session (idempotent)."""
     for k, v in SESSION_CONF.items():
@@ -164,43 +177,61 @@ _CSV_SCHEMA = T.StructType(
 )
 
 
-@query("scan_csv_schema")
+#: Fixed handoff dir for file-format round-trip keys: the Spark side of a
+#: key writes here, the DuckDB oracle reads the SAME files back (the driver
+#: runs the Spark query first). One dir, overwritten per run — bounded disk,
+#: no per-pid leak (r01 ADVICE).
+_SCAN_ORACLE_DIR = "/tmp/engine_scan_oracle"
+
+
+@query(
+    "scan_csv_schema",
+    oracle=f"""
+    SELECT r_regionkey, r_name
+    FROM read_csv('{_SCAN_ORACLE_DIR}/region_csv/*.csv', header=false,
+                  columns={{'r_regionkey': 'INTEGER', 'r_name': 'VARCHAR'}})
+    """,
+)
 def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV with explicit schema — the reference's extract format: periodic
     delimited flat-file dumps with config-supplied schemas, never inferred.
 
-    Round-trips ``region`` through a temp CSV dir to prove the path;
-    rows-only oracle (the CSV file is engine-created, not a fixture).
+    Round-trips ``region`` through a CSV dir to prove the path; the oracle
+    is DuckDB ``read_csv`` over the exact same part files with the same
+    explicit schema, so the round-trip is fully hash-checked.
     """
-    import tempfile
-
     t = load_tables(spark, sf_dir)
-    with tempfile.TemporaryDirectory(prefix="engine_csv_") as d:
-        path = os.path.join(d, "region_csv")
-        t["region"].select("r_regionkey", "r_name").write.mode("overwrite").option(
-            "header", "false"
-        ).csv(path)
-        df = spark.read.schema(_CSV_SCHEMA).csv(path)
-        # Materialize before the temp dir vanishes: localCheckpoint keeps it
-        # distributed (no driver collect) while cutting the file lineage.
-        return df.orderBy("r_regionkey").localCheckpoint(eager=True)
+    path = os.path.join(_SCAN_ORACLE_DIR, "region_csv")
+    t["region"].select("r_regionkey", "r_name").write.mode("overwrite").option(
+        "header", "false"
+    ).csv(path)
+    df = spark.read.schema(_CSV_SCHEMA).csv(path)
+    # localCheckpoint materializes the read before any later run overwrites
+    # the handoff dir, while staying distributed (no driver collect).
+    return df.orderBy("r_regionkey").localCheckpoint(eager=True)
 
 
-@query("scan_json_lines")
+@query(
+    "scan_json_lines",
+    oracle=f"""
+    SELECT n_nationkey, n_regionkey, n_name
+    FROM read_json('{_SCAN_ORACLE_DIR}/nation_json/*.json',
+                   format='newline_delimited')
+    """,
+)
 def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines source with schema inference (rows-only oracle)."""
-    import tempfile
-
+    """JSON-lines source with schema inference; the oracle re-reads the
+    same newline-delimited part files via DuckDB ``read_json`` (both
+    engines infer integer columns as 64-bit), hash-checked."""
     t = load_tables(spark, sf_dir)
-    with tempfile.TemporaryDirectory(prefix="engine_json_") as d:
-        path = os.path.join(d, "nation_json")
-        t["nation"].write.mode("overwrite").json(path)
-        df = spark.read.json(path)
-        return (
-            df.select("n_nationkey", "n_regionkey", "n_name")
-            .orderBy("n_nationkey")
-            .localCheckpoint(eager=True)
-        )
+    path = os.path.join(_SCAN_ORACLE_DIR, "nation_json")
+    t["nation"].write.mode("overwrite").json(path)
+    df = spark.read.json(path)
+    return (
+        df.select("n_nationkey", "n_regionkey", "n_name")
+        .orderBy("n_nationkey")
+        .localCheckpoint(eager=True)
+    )
 
 
 @query(
@@ -308,7 +339,9 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outlives the in-memory catalog, so a managed-table name would collide
     # on the second process run against the stale directory
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/engine_bkt_{os.getpid()}"
+    # fixed path (not pid-keyed): content is deterministic per sf, so a
+    # stale dir from an earlier process is simply overwritten — bounded disk
+    base = "/tmp/engine_bkt"
     for name, df, key in (
         (f"orders_bkt_{sf_tag}", t["orders"], "o_orderkey"),
         (f"lineitem_bkt_{sf_tag}", t["lineitem"], "l_orderkey"),
@@ -382,8 +415,10 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan to the matching partitions without the user naming them."""
     t = load_tables(spark, sf_dir)
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/engine_dpp_{os.getpid()}/orders_{sf_tag}"
-    if not os.path.exists(path):
+    path = f"/tmp/engine_dpp/orders_{sf_tag}"
+    # _SUCCESS (not bare dir): a killed writer leaves a partial dir that
+    # must be rewritten, while a complete one is deterministic → reusable
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             t["orders"]
             .withColumn("o_year", F.year("o_orderdate"))

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from engine.cdc import dedup_extract
 from engine.io import load_tables
+from engine.io import tmpdir as io_tmpdir
 from engine.registry import query
 
 _uid = itertools.count()
@@ -45,7 +46,7 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     if key in _stream_input_cache and os.path.isdir(_stream_input_cache[key]):
         return _stream_input_cache[key]
     ev = load_tables(spark, sf_dir)["events"]
-    base = tempfile.mkdtemp(prefix="engine_stream_in_")
+    base = io_tmpdir("engine_stream_in_")
     bounds = ev.select(
         F.percentile("ts_ns", 0.25).alias("q1"),
         F.percentile("ts_ns", 0.5).alias("q2"),
@@ -202,7 +203,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     (numRowsDroppedByWatermark) and its user_id=-1 must NOT reach the
     sink. Output = finalized windows + the in-query late_row_absent flag."""
     ev = load_tables(spark, sf_dir)["events"]
-    base = tempfile.mkdtemp(prefix="engine_late_")
+    base = io_tmpdir("engine_late_")
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "b0"))
     time.sleep(0.05)
 
@@ -264,7 +265,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivers every event twice (duplicated input files) — the dedup state
     must emit each event_id exactly once ≡ batch DISTINCT."""
     ev = load_tables(spark, sf_dir)["events"]
-    base = tempfile.mkdtemp(prefix="engine_dup_")
+    base = io_tmpdir("engine_dup_")
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "b0"))
     time.sleep(0.05)
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "b1"))
@@ -292,9 +293,12 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running aggregate in UPDATE mode (state store). The memory
-    sink accumulates every per-batch update; counts and positive-value
-    sums grow monotonically, so max() per user recovers the final state
-    ≡ batch aggregate."""
+    sink accumulates every per-batch update; the LATEST state per user is
+    the row with max n_events (strictly monotonic — update mode only
+    emits a user's row when new events arrived), whose tv is taken via
+    max_by. NOT max(tv): the running sum is only monotonic while values
+    are positive, so max(tv) would silently return a stale intermediate
+    state if any value were negative (r01 ADVICE)."""
     s = _read_stream(spark, sf_dir, max_files=1)
     agg = s.groupBy("user_id").agg(
         F.count("*").alias("n_events"), F.sum("value").alias("tv")
@@ -302,7 +306,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(agg, "update")
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.round(F.max("tv"), 4).alias("total_value"),
+        F.round(F.max_by("tv", "n_events"), 4).alias("total_value"),
     )
 
 
@@ -437,7 +441,7 @@ def sink_foreachBatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_cdc_pipeline's union+dedup formulation, this is the explicit
     join-shaped merge; both are order-independent and idempotent, and both
     must equal the batch latest-per-key oracle."""
-    snap_dir = tempfile.mkdtemp(prefix="engine_merge_snap_")
+    snap_dir = io_tmpdir("engine_merge_snap_")
     cols = ["user_id", "event_id", "ts", "value"]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -502,7 +506,7 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same snapshot — at-least-once delivery becomes exactly-once state
     (SURVEY §4). Final snapshot ≡ batch latest-per-key over all events.
     """
-    snap_dir = tempfile.mkdtemp(prefix="engine_cdc_snap_")
+    snap_dir = io_tmpdir("engine_cdc_snap_")
     cols = ["user_id", "event_id", "ts", "value"]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -557,7 +561,7 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch window over ALL events). The streaming twin of
     cdc_scd2_history; versioned parquet snapshots as in
     stream_cdc_pipeline."""
-    hist_dir = tempfile.mkdtemp(prefix="engine_scd2_")
+    hist_dir = io_tmpdir("engine_scd2_")
     cols = ["user_id", "event_id", "value", "ts"]
 
     def scd2(df: DataFrame) -> DataFrame:
