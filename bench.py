@@ -69,6 +69,8 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    from engine import similarity
+
     print(
         json.dumps(
             {
@@ -77,6 +79,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                # scale-regression telemetry: deeper dup chains ⇒ more
+                # label-propagation rounds; watch this grow with sf
+                "dedup_cluster_rounds": similarity.LAST_PROPAGATION_ROUNDS,
             }
         )
     )

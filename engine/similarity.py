@@ -17,12 +17,16 @@ Scale doctrine (the whole point of these keys):
 from __future__ import annotations
 
 import hashlib
+import sys
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine.io import load_tables
 from engine.registry import query
+
+#: rounds the last llm_dedup_clusters run took to converge (bench telemetry)
+LAST_PROPAGATION_ROUNDS: int | None = None
 
 # ---------------------------------------------------------------------------
 # deterministic hyperplanes (±1 Rademacher), shared by Spark and oracle SQL
@@ -719,7 +723,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint. Checking it is one scan of the just-checkpointed frame —
     # no join against the previous round's labels.
     prev_sum = None
+    rounds = 0
     while True:
+        rounds += 1
         prop = (
             adj.join(labels, adj["v"] == labels["id"])
             .groupBy("u")
@@ -742,6 +748,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # telemetry, not result: round count is the quantity that regresses if
+    # a bigger corpus produces deeper dup chains (bench.py reports it, the
+    # oracle-compared schema stays unchanged)
+    global LAST_PROPAGATION_ROUNDS
+    LAST_PROPAGATION_ROUNDS = rounds
+    print(f"[llm_dedup_clusters] propagation rounds to fixpoint: {rounds}", file=sys.stderr)
     return labels.select(F.col("id").alias("vec_id"), F.col("lbl").alias("cluster_id"))
 
 

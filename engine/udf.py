@@ -129,110 +129,203 @@ def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_FEATURE_DIM = 8
+#: IMG1 — the synthetic image container used by udf_multimodal_decode.
+#: Layout (all real bytes, parsed back with struct.unpack on decode):
+#:   [0:4)  magic b"IMG1"
+#:   [4]    channels C (1 = gray, 3 = rgb)
+#:   [5:7)  width  W, big-endian uint16
+#:   [7:9)  height H, big-endian uint16
+#:   [9:)   W*H*C pixel bytes, row-major, channel-interleaved
+#: Pixel value at flat index i is (doc_id*31 + i*17) % 256 — deterministic,
+#: so a SQL oracle can re-derive every decoded feature arithmetically.
+_IMG1_MAGIC = b"IMG1"
+_IMG1_HEADER_LEN = 9
 
 
-@query("udf_multimodal_decode")
-def udf_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode pipeline over opaque binary media (rows-only).
+def _img1_encode(doc_id: int) -> bytes:
+    """Build one IMG1 payload (executor-side, inside a pandas UDF)."""
+    import struct
 
-    Real Spark plumbing: binary payload column + typed metadata struct →
-    mapInPandas over Arrow batches → fixed-width feature vector + shape
-    metadata out. The codec itself is a STUB: this container has no
-    image/audio libraries, so ``_fake_decode`` derives a deterministic
-    8-float "feature vector" from the payload bytes (documented fake, not
-    a real decoder — swap in PIL/torchaudio in eval() for production).
-    Batch shape, schema, and partition flow are the real thing.
-    """
-    d = load_tables(spark, sf_dir)["documents"]
-    media = d.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),  # opaque binary stand-in
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.col("n_chars").cast("int").alias("size_bytes"),
-            F.col("lang").alias("tag"),
-        ).alias("meta"),
+    import numpy as np
+
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id * 3) % 9
+    c = 1 + 2 * (doc_id % 2)
+    px = ((doc_id * 31 + np.arange(w * h * c, dtype=np.int64) * 17) % 256).astype(
+        np.uint8
     )
+    return struct.pack(">4sBHH", _IMG1_MAGIC, c, w, h) + px.tobytes()
+
+
+@query(
+    "udf_multimodal_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 3) % 9 AS h,
+             1 + 2 * (doc_id % 2) AS c
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, c,
+             list_transform(generate_series(0, w*h*c - 1),
+                            i -> CAST((doc_id*31 + i*17) % 256 AS DOUBLE)) AS p
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+           CAST(c AS INTEGER) AS c,
+           CAST(9 + w*h*c AS INTEGER) AS payload_len,
+           round(list_avg(p), 6) AS mean_px,
+           round(list_avg(list_transform(
+                 list_filter(generate_series(0, w*h*c - 1), i -> i % c = 0),
+                 i -> CAST((doc_id*31 + i*17) % 256 AS DOUBLE))), 6) AS ch0_mean,
+           true AS decode_ok
+    FROM px
+    """,
+)
+def udf_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over opaque binary media — a REAL byte-level
+    codec, end to end.
+
+    Encode: each doc gets an IMG1 payload (magic + channels + 16-bit dims
+    header + W*H*C pixel bytes) built executor-side in a pandas UDF — the
+    binary column is genuinely opaque to Spark. Decode: mapInPandas over
+    Arrow batches parses the header with struct.unpack, validates magic
+    and length, reinterprets the pixel buffer with numpy, and emits
+    decoded shape + channel statistics. The features therefore depend on
+    the actual decoded bytes (corrupt one byte and decode_ok/mean flip);
+    the DuckDB oracle re-derives the same features from the generation
+    rule, hash-verifying the full encode→decode loop. A production
+    pipeline swaps the IMG1 branch for PIL/ffmpeg in the same decode
+    function; schema, batching, and partition flow are unchanged.
+
+    At 100 TB: payloads never leave executors, Arrow moves them
+    zero-copy-ish into Python in batches, and there is no shuffle at all
+    — decode is embarrassingly parallel over scan partitions."""
+    import struct
+
+    import numpy as np
+
+    d = load_tables(spark, sf_dir)["documents"]
+
+    @F.pandas_udf(T.BinaryType())
+    def make_img1(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.apply(lambda i: _img1_encode(int(i)))
+
+    media = d.select("doc_id", make_img1("doc_id").alias("payload"))
 
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
-            T.StructField("mime", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
             T.StructField("payload_len", T.IntegerType()),
-            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("mean_px", T.DoubleType()),
+            T.StructField("ch0_mean", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
         ]
     )
 
+    def decode_one(doc_id: int, payload: bytes) -> tuple:
+        b = bytes(payload)
+        magic, c, w, h = struct.unpack(">4sBHH", b[:_IMG1_HEADER_LEN])
+        ok = magic == _IMG1_MAGIC and len(b) == _IMG1_HEADER_LEN + w * h * c
+        if not ok:
+            return (doc_id, 0, 0, 0, len(b), None, None, False)
+        px = np.frombuffer(b, dtype=np.uint8, offset=_IMG1_HEADER_LEN).astype(
+            np.float64
+        )
+        return (
+            doc_id,
+            w,
+            h,
+            c,
+            len(b),
+            round(float(px.mean()), 6),
+            round(float(px[::c].mean()), 6),  # channel 0 = every c-th byte
+            True,
+        )
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].apply(_fake_decode)
+            rows = [
+                decode_one(int(i), p) for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["meta"].apply(lambda m: m["mime"]),
-                    "payload_len": pdf["payload"].apply(len).astype("int32"),
-                    "features": feats,
-                }
+                rows,
+                columns=[
+                    "doc_id",
+                    "w",
+                    "h",
+                    "c",
+                    "payload_len",
+                    "mean_px",
+                    "ch0_mean",
+                    "decode_ok",
+                ],
             )
 
     return media.mapInPandas(decode_batches, out_schema)
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """STUB decoder: deterministic bytes → 8 floats. NOT a real codec —
-    stands in for image/audio decode so the pipeline is testable here."""
-    import hashlib
-
-    h = hashlib.sha256(bytes(payload)).digest()
-    return [round(b / 255.0, 6) for b in h[:_MM_FEATURE_DIM]]
-
-
-#: frame-sampling geometry for udf_multimodal_frames (bytes, not pixels —
-#: the fixture "video" is an opaque byte stream; real codecs slot in here)
-_FRAME_SIZE = 64
-_FRAME_SAMPLE = (0, 2, 4, 6)  # stride-2 sampling of the first 8 frames
-_CROP = 16
+_FRAME_SAMPLE = (0, 2, 4, 6)  # stride-2 sampling of the first 8 rows
+_CROP = 16  # "resize": crop each sampled row to its first 16 bytes
 
 
 @query(
     "udf_multimodal_frames",
     oracle=f"""
-    WITH f AS (
-      SELECT doc_id, k.k AS frame_idx,
-             substr(text, k.k * {_FRAME_SIZE} + 1, {_FRAME_SIZE}) AS frame
-      FROM documents, (SELECT unnest({list(_FRAME_SAMPLE)}) AS k) k
-      WHERE text <> '' AND len(text) > k.k * {_FRAME_SIZE}
-    ), r AS (
-      SELECT doc_id, frame_idx, len(frame) AS frame_len,
-             substr(frame, 1, {_CROP}) AS crop
-      FROM f
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 3) % 9 AS h,
+             1 + 2 * (doc_id % 2) AS c
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, c, k.k AS frame_idx
+      FROM dims, (SELECT unnest({list(_FRAME_SAMPLE)}) AS k) k
+      WHERE k.k < h
     )
-    SELECT doc_id, frame_idx, frame_len,
-           round(list_avg(list_transform(generate_series(1, len(crop)),
-                 i -> ascii(substr(crop, i, 1)))), 6) AS feat
-    FROM r
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(w * c AS INTEGER) AS frame_len,
+           round(list_avg(list_transform(
+             generate_series(frame_idx * w * c,
+                             frame_idx * w * c + least({_CROP}, w * c) - 1),
+             i -> CAST((doc_id*31 + i*17) % 256 AS DOUBLE))), 6) AS feat
+    FROM f
     """,
 )
 def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample + resize plumbing for video-like media: one opaque
-    binary row explodes into sampled frame rows via mapInPandas.
+    """Frame-sample + resize over IMG1 media: one opaque binary row
+    explodes into sampled per-row "frames" via mapInPandas.
 
-    Real Spark plumbing end-to-end: binary payload → Arrow batches → per
-    row, slice fixed-size "frames" at a sampling stride (0,2,4,6), "resize"
-    each frame by cropping to its first 16 bytes, emit one row per sampled
-    frame with a feature (mean byte value). The codec is the documented
-    STUB (byte slicing stands in for ffmpeg/PIL frame extraction + resize);
-    the fan-out schema, batch iteration, and 1→N row explosion are exactly
-    the production shape. SQL-oracle-verified because the fake is
-    deterministic byte math (fixtures are pure ASCII, so DuckDB's char
-    ops mirror the byte ops; real media would be rows-only).
+    Decodes the REAL container: parses the IMG1 header (struct.unpack),
+    treats the pixel section as H frames of W*C bytes (a video surrogate
+    where each image row is one frame), samples rows 0,2,4,6, "resizes"
+    each by cropping to its first 16 bytes, and emits one output row per
+    sampled frame with its mean byte value. Every emitted number derives
+    from decoded payload bytes; the oracle re-derives them from the IMG1
+    generation rule, so frame geometry + feature math are hash-verified.
+    A production pipeline swaps the row-slicing for ffmpeg frame
+    extraction in the same function; the 1→N fan-out schema, Arrow batch
+    iteration, and partition flow are exactly the production shape.
 
     At 100 TB: mapInPandas streams Arrow batches — no per-row pickling, no
     driver involvement; frame fan-out multiplies rows ~4× AFTER the scan,
     and downstream shuffles key on doc_id which Spark hash-distributes."""
-    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
-    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    import struct
+
+    import numpy as np
+
+    d = load_tables(spark, sf_dir)["documents"]
+
+    @F.pandas_udf(T.BinaryType())
+    def make_img1(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.apply(lambda i: _img1_encode(int(i)))
+
+    media = d.select("doc_id", make_img1("doc_id").alias("payload"))
 
     out_schema = T.StructType(
         [
@@ -248,15 +341,19 @@ def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "frame_idx": [], "frame_len": [], "feat": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                magic, c, w, h = struct.unpack(">4sBHH", b[:_IMG1_HEADER_LEN])
+                if magic != _IMG1_MAGIC:
+                    continue
+                px = np.frombuffer(b, dtype=np.uint8, offset=_IMG1_HEADER_LEN)
+                row_len = w * c
                 for k in _FRAME_SAMPLE:
-                    frame = b[k * _FRAME_SIZE : (k + 1) * _FRAME_SIZE]
-                    if not frame:
+                    if k >= h:
                         continue
-                    crop = frame[:_CROP]
+                    crop = px[k * row_len : k * row_len + min(_CROP, row_len)]
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(k)
-                    rows["frame_len"].append(len(frame))
-                    rows["feat"].append(round(sum(crop) / len(crop), 6))
+                    rows["frame_len"].append(row_len)
+                    rows["feat"].append(round(float(crop.astype(np.float64).mean()), 6))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(sample_frames, out_schema)
