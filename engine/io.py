@@ -130,9 +130,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-            )
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                # driver fixture: raw INT64 ns (nanosAsLong) → truncate to µs
+                df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+                    "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+                )
+            else:
+                # already a timestamp (e.g. re-materialized scaled data):
+                # derive ns from µs — same downstream columns either way
+                df = df.withColumn(
+                    "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+                ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         out[name] = df
         df.createOrReplaceTempView(name)
     _tables_cache[key] = out

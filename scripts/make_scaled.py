@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Materialize an N×-scaled copy of a fixture dir for benchmarking.
+
+The driver ships sf0.001/0.01/0.1; BASELINE/VERDICT ask for bench numbers
+at sf1 to retire the ~200 ms fixed local-job overhead that distorts
+sub-second queries. This script replicates every fact table N times
+(default 10 → "sf1" from sf0.1) with surrogate keys offset per replica so
+key cardinalities, join fan-outs, and group counts scale the way a real
+TPC-H-style scale-up does:
+
+- dims (region, nation) are copied as-is;
+- customer/supplier/part/orders/lineitem offset their PKs AND the matching
+  FKs by replica*(max_key+1), so referential joins stay 1:N with 10× rows;
+- events offsets event_id/user_id; ts is written as µs timestamp (the
+  engine's load_tables accepts both raw-ns and timestamp encodings);
+- documents offsets doc_id and appends a per-replica tail token (so the
+  replicas are NOT exact duplicates of each other — otherwise every doc
+  would sit in a 10-clique and near-dup benchmarks would measure the
+  artifact, not the algorithm); n_chars is recomputed to stay consistent;
+- embeddings offsets vec_id and sign-flips dimension (replica-1) per
+  replica — geometry (norms, label structure) is preserved while exact-dup
+  cliques across replicas are broken.
+
+Deterministic: same input → byte-identical logical content (row order may
+differ; all consumers are order-insensitive).
+
+Usage: python scripts/make_scaled.py [src_dir] [dst_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from engine.io import TABLES, get_spark, load_tables
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/engine_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = get_spark(app="make_scaled")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, src)
+
+    # per-table (pk/fk column → stride) offsets; stride = max(pk)+1 once
+    strides = {
+        "custkey": t["customer"].agg(F.max("c_custkey")).collect()[0][0] + 1,
+        "suppkey": t["supplier"].agg(F.max("s_suppkey")).collect()[0][0] + 1,
+        "partkey": t["part"].agg(F.max("p_partkey")).collect()[0][0] + 1,
+        "orderkey": t["orders"].agg(F.max("o_orderkey")).collect()[0][0] + 1,
+        "event_id": t["events"].agg(F.max("event_id")).collect()[0][0] + 1,
+        "user_id": t["events"].agg(F.max("user_id")).collect()[0][0] + 1,
+        "doc_id": t["documents"].agg(F.max("doc_id")).collect()[0][0] + 1,
+        "vec_id": t["embeddings"].agg(F.max("vec_id")).collect()[0][0] + 1,
+    }
+    offset_cols = {
+        "customer": {"c_custkey": "custkey"},
+        "supplier": {"s_suppkey": "suppkey"},
+        "part": {"p_partkey": "partkey"},
+        "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+        "lineitem": {
+            "l_orderkey": "orderkey",
+            "l_partkey": "partkey",
+            "l_suppkey": "suppkey",
+        },
+        "events": {"event_id": "event_id", "user_id": "user_id"},
+        "documents": {"doc_id": "doc_id"},
+        "embeddings": {"vec_id": "vec_id"},
+    }
+
+    for name in TABLES:
+        df = t[name]
+        if name == "events":
+            df = df.drop("ts_ns")  # derived; re-derived on load
+        if name in ("region", "nation"):
+            out = df
+        else:
+            reps = []
+            for r in range(factor):
+                rep = df
+                for col, stride in offset_cols[name].items():
+                    rep = rep.withColumn(
+                        col, (F.col(col) + F.lit(r * strides[stride])).cast("long")
+                    )
+                if name == "documents" and r > 0:
+                    rep = rep.withColumn(
+                        "text",
+                        F.when(
+                            F.col("text") == "", F.col("text")
+                        ).otherwise(F.concat(F.col("text"), F.lit(f" r{r}"))),
+                    ).withColumn("n_chars", F.length("text").cast("int"))
+                if name == "embeddings" and r > 0:
+                    flip = (r - 1) % 64
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"transform(embedding, (x, i) -> "
+                            f"case when i = {flip} then -x else x end)"
+                        ),
+                    )
+                reps.append(rep)
+            out = reps[0]
+            for rep in reps[1:]:
+                out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+        print(f"wrote {name}: {spark.read.parquet(os.path.join(dst, name + '.parquet')).count()} rows")
+
+
+if __name__ == "__main__":
+    main()
