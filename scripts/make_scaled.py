@@ -13,13 +13,28 @@ TPC-H-style scale-up does:
   FKs by replica*(max_key+1), so referential joins stay 1:N with 10× rows;
 - events offsets event_id/user_id; ts is written as µs timestamp (the
   engine's load_tables accepts both raw-ns and timestamp encodings);
-- documents offsets doc_id and appends a per-replica tail token (so the
-  replicas are NOT exact duplicates of each other — otherwise every doc
-  would sit in a 10-clique and near-dup benchmarks would measure the
-  artifact, not the algorithm); n_chars is recomputed to stay consistent;
-- embeddings offsets vec_id and sign-flips dimension (replica-1) per
-  replica — geometry (norms, label structure) is preserved while exact-dup
-  cliques across replicas are broken.
+- documents offsets doc_id and applies a per-replica CONTENT-KEYED token
+  tag: word w gains a "#r{r}" suffix iff xxhash64(w, r) is even. The map
+  is deterministic per token, so within-replica shingle Jaccard (and the
+  exact-dup group structure) is preserved EXACTLY, while a 3-token
+  shingle survives across two replicas only if all 3 words are untagged
+  in BOTH (≈(1/4)³ → cross-replica Jaccard ≈ 1%, far below tau). A mere
+  tail token (previous attempt) left replicas at Jaccard ≈ S/(S+1) —
+  every doc in an artificial 10-clique (measured: 24 859 minhash pairs
+  vs 256 on equal-size native data). n_chars is recomputed;
+- embeddings offsets vec_id and applies a per-replica signed dimension
+  permutation (an isometry: norms and within-replica geometry exactly
+  preserved). Cross-replica cosines then match INDEPENDENT-sample
+  statistics: the fixture's vectors are isotropic (label centroid norms
+  ≈ 0.07, within-label cosine distribution = global), so scrambled
+  cross cosines ~N(0, 1/64) reproduce the native pair distribution —
+  validated by edge counts: scaled sf0.01×10 (n=5000) yields 7 349
+  LSH-found cos≥0.35 edges vs 7 380 predicted by n²-scaling native
+  sf0.1's rate. NOTE the resulting giant dedup component at n≥5k is
+  genuine percolation of the cos≥0.35 graph (native sf0.1 already has a
+  410-vertex component among 2 000 vectors), NOT a replication artifact
+  — the artifact (every replica a near-dup of its original, cos≈1-2/64)
+  only existed under the earlier single-dim sign flip.
 
 Deterministic: same input → byte-identical logical content (row order may
 differ; all consumers are order-insensitive).
@@ -91,18 +106,39 @@ def main() -> None:
                 if name == "documents" and r > 0:
                     rep = rep.withColumn(
                         "text",
-                        F.when(
-                            F.col("text") == "", F.col("text")
-                        ).otherwise(F.concat(F.col("text"), F.lit(f" r{r}"))),
+                        F.when(F.col("text") == "", F.col("text")).otherwise(
+                            F.array_join(
+                                F.transform(
+                                    F.split(F.col("text"), " "),
+                                    lambda w: F.when(
+                                        F.xxhash64(w, F.lit(r)) % 2 == 0,
+                                        F.concat(w, F.lit(f"#r{r}")),
+                                    ).otherwise(w),
+                                ),
+                                " ",
+                            )
+                        ),
                     ).withColumn("n_chars", F.length("text").cast("int"))
                 if name == "embeddings" and r > 0:
-                    flip = (r - 1) % 64
+                    # per-replica signed dimension permutation (affine map
+                    # with odd stride, coprime to 64, + Rademacher signs):
+                    # norms and within-replica geometry are exactly
+                    # preserved, while cross-replica cosines scramble to
+                    # ~N(0, 1/64). Signs alone are NOT enough: the fixture
+                    # clusters tightly around label centroids, so a fixed
+                    # sign pattern gives every (replica-pair, label) a
+                    # FIXED cosine that often exceeds tau -> one giant
+                    # artificial dup component.
+                    stride = (2 * r + 1) % 64  # odd -> bijective mod 64
+                    shift = (r * 23) % 64
                     rep = rep.withColumn(
                         "embedding",
                         F.expr(
-                            f"transform(embedding, (x, i) -> "
-                            f"case when i = {flip} then -x else x end)"
-                        ),
+                            f"transform(sequence(0, 63), i -> "
+                            f"case when pmod((i + 1) * ({r} * 2654435761 + 12345), 97) < 48 "
+                            f"then -element_at(embedding, pmod(i * {stride} + {shift}, 64) + 1) "
+                            f"else element_at(embedding, pmod(i * {stride} + {shift}, 64) + 1) end)"
+                        ).cast("array<float>"),
                     )
                 reps.append(rep)
             out = reps[0]

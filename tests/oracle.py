@@ -45,9 +45,10 @@ def duck_run_df(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
-            )
+            p = os.path.join(sf_dir, t + ".parquet")
+            if os.path.isdir(p):  # Spark-written dataset (e.g. scaled fixtures)
+                p = os.path.join(p, "*.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         return con.execute(sql).df()
     finally:
         con.close()
