@@ -672,16 +672,29 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_aes_roundtrip")
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           CAST((floor(length(c_name) / 16) + 1) * 16 AS BIGINT) AS ct_len,
+           true AS roundtrip_ok
+    FROM customer
+    """,
+)
 def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level tokenization: AES-ECB encrypt of a PII-ish column with
     a fixed key — deterministic (ECB, no IV), so equal plaintexts map to
     equal ciphertexts and the encrypted column still supports joins and
     groupBys (the classic governance trade-off, documented here on
     purpose; GCM mode would be semantically secure but nondeterministic).
-    Self-validating rows-only oracle (DuckDB ships no AES): each row
-    carries roundtrip_ok = decrypt(encrypt(x)) == x, plus the hex token
-    prefix. JVM-side crypto — no Python crossing, scan-speed at scale."""
+
+    DuckDB ships no AES, so the oracle checks the two things it CAN derive
+    arithmetically: PKCS#7 ciphertext length ((floor(len/16)+1)*16 — always
+    one padding block, full block when len%16==0) and per-row roundtrip
+    success (decrypt(encrypt(x)) == x must be universally true). The
+    ciphertext bytes themselves stay engine-side but any padding/length
+    deviation or decrypt failure flips a hashed column.
+    JVM-side crypto — no Python crossing, scan-speed at scale."""
     c = load_tables(spark, sf_dir)["customer"]
     key = F.lit("0123456789abcdef")  # 16-byte demo key; injected config in prod
     enc = F.aes_encrypt(F.col("c_name").cast("binary"), key, F.lit("ECB"))
@@ -690,7 +703,7 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("c_custkey", "c_name", enc.alias("enc"))
         .select(
             "c_custkey",
-            F.upper(F.substring(F.hex("enc"), 1, 16)).alias("token_prefix"),
+            F.length("enc").cast("bigint").alias("ct_len"),
             (dec == F.col("c_name")).alias("roundtrip_ok"),
         )
     )

@@ -375,9 +375,22 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_partitioned_parquet")
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderstatus
+    """,
+)
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write a snapshot partitioned by a column, read it back (rows-only).
+    """Write a snapshot partitioned by a column, read it back, and
+    aggregate the pruned partition; the oracle aggregates the same slice
+    straight from the source table, so the write→prune→read round trip is
+    hash-checked (any row lost, duplicated, or mis-partitioned by the sink
+    shifts n or total).
 
     This is the reference's persisted current-state layout; partitioning by
     a low-cardinality column gives partition pruning on read at 100 TB.
@@ -395,7 +408,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n"),
-                F.round(F.sum("o_totalprice"), 4).alias("total"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
             )
             .localCheckpoint(eager=True)
         )

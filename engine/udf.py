@@ -77,20 +77,42 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.round(l2_norm("embedding"), 5).alias("l2_norm"))
 
 
-@query("udf_grouped_agg")
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           round(avg(o_totalprice), 4) AS trimmed_mean,
+           CAST(count(*) AS BIGINT) AS n_used,
+           true AS bounds_ok
+    FROM r
+    WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    GROUP BY o_orderstatus
+    """,
+)
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped pandas UDAF via applyInPandas: 10%-trimmed mean of order
-    totals per status (rows-only: quantile interpolation details make a
-    cross-engine float oracle fragile; self-checked bounds instead).
+    totals per status. Trimming is RANK-based (drop the lowest and highest
+    floor(n*0.1) values by count) rather than quantile-value-based: the cut
+    is an integer decided by sorting, so the oracle reproduces it exactly
+    with a window row_number — no cross-engine quantile-interpolation or
+    boundary-ulp fragility (tied values straddling the cut contribute the
+    same value either way, so the mean is invariant to which copy is kept).
     Scale note: each group materializes in one python worker — fine for
     bounded groups, never for unbounded keys (use built-ins then)."""
 
     schema = "o_orderstatus string, trimmed_mean double, n_used long, bounds_ok boolean"
 
     def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["o_totalprice"]
-        lo, hi = x.quantile(0.1), x.quantile(0.9)
-        kept = x[(x >= lo) & (x <= hi)]
+        x = pdf["o_totalprice"].sort_values().to_numpy()
+        k = int(len(x) * 0.1)
+        kept = x[k : len(x) - k]
         tm = float(kept.mean())
         return pd.DataFrame(
             {
@@ -105,11 +127,32 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").applyInPandas(trimmed, schema)
 
 
-@query("udf_table_udtf")
+@query(
+    "udf_table_udtf",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    ex AS (
+        SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 10 AS INT) AS chunk_idx,
+           CAST(count(*) AS INT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY i) AS chunk
+    FROM ex GROUP BY doc_id, (i - 1) // 10
+    """,
+)
 def udf_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: explode each document into fixed-size 10-token chunks
     (sentence surrogate — the fixture text has no punctuation) with chunk
-    index and token count (rows-only oracle)."""
+    index and token count. The oracle rebuilds the chunking relationally
+    (tokens with ordinality via generate_subscripts/unnest, grouped by
+    (i-1)//10, re-joined in token order with string_agg), so every yielded
+    row — index, count, and joined text — is hash-checked; split(' ')
+    keeps empty tokens identically in both engines."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk string")
