@@ -46,7 +46,9 @@ def load_all() -> None:
         io,
         llm_ops,
         relational,
+        relational_ext,
         similarity,
         streaming,
+        text_ext,
         udf,
     )

@@ -1,0 +1,381 @@
+"""Extended relational surface (round 2): classic decision-support join/agg
+shapes (TPC-H Q7/Q10/Q12/Q18/Q19 adapted to the reduced fixture schema),
+distribution-style window functions, regression/correlation aggregates,
+struct ops, and multiset (ALL) set ops.
+
+Same design rules as engine/relational.py: declarative DataFrame plans,
+dims broadcast explicitly, filters expressed before joins so Catalyst
+pushes them into the scan, two-phase aggregation everywhere, no driver-side
+loops. Every key has a DuckDB oracle twin; float outputs are rounded at a
+granularity far above cross-engine summation noise (documented per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+
+@query(
+    "agg_returned_items",
+    oracle="""
+    SELECT * FROM (
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def agg_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    Plan: the returnflag filter reaches the lineitem scan and the date
+    window reaches the orders scan BEFORE the fact-fact join; customer and
+    nation are broadcast. The final top-20 ranks on the ROUNDED revenue
+    with c_custkey tiebreak, so ordering is identical across engines
+    (unrounded fp noise can never reorder). TakeOrderedAndProject keeps
+    the limit on the map side — no global sort at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair by
+    ship year.
+
+    The nation-pair disjunction is applied where it belongs: each nation
+    dim is pre-filtered to the two named nations and broadcast, so the
+    fact rows for the other 23 nations are dropped AT THE JOIN (a
+    broadcast-hash probe miss), never shuffled. The surviving pair
+    predicate is re-checked post-join; one shuffle total (lineitem⋈orders
+    on orderkey)."""
+    t = load_tables(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = t["nation"].where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "agg_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(sum(l.l_quantity), 2) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    HAVING sum(l.l_quantity) > 300
+    """,
+)
+def agg_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
+
+    Aggregates lineitem by orderkey FIRST (partial map-side sums), applies
+    the HAVING on the aggregate, and only then joins the ~0.1% survivors
+    to orders/customer — so the expensive join runs on the filtered
+    aggregate, not the raw fact. Quantities are integral doubles, so the
+    >300 cut is exact in both engines."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"), F.count("*").alias("n_lines"))
+        .where(F.col("qty") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("qty", 2).alias("total_qty"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_disjunctive_pred",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.
+
+    The disjunction mixes part-side and lineitem-side columns, so neither
+    branch can be fully pushed below the join — but Catalyst extracts the
+    common single-side implications (brand ∈ {..} on part, quantity ∈
+    [1,30] on lineitem) and pushes THOSE into each scan, shrinking the
+    join inputs; the full disjunction is re-evaluated post-join. part is
+    broadcast. This is the canonical test that predicate extraction, not
+    just simple pushdown, reaches the scans."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_priority_class",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY l.l_linestatus
+    """,
+)
+def agg_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus on the reduced schema):
+    returned lines classified by order priority via conditional sums.
+
+    One join (returnflag filter pushed to the lineitem scan), then a
+    2-group conditional aggregate — the CASE sums are map-side partial,
+    so the shuffle carries 2 rows per task regardless of input size."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "win_percent_rank",
+    oracle="""
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           CAST(ntile(4)  OVER w AS INT) AS bucket
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile.
+
+    The window orders by (value, event_id) — the unique key makes every
+    row its own peer group, so all three functions are pure rational
+    arithmetic on identical integers in both engines (no tie-order
+    nondeterminism, ntile bucket boundaries included); the doubles are
+    bit-identical and hash unrounded. One shuffle on event_type; each
+    function is a single streaming pass over the sorted partition."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("bucket"),
+    )
+
+
+@query(
+    "agg_corr_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           round(stddev_samp(l_quantity), 6) AS sd_q,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates: corr / covar / stddev / OLS fit.
+
+    All five are single-pass co-moment aggregates with exact partial
+    merge, so they distribute like plain sums (map-side partials, tiny
+    shuffle). Rounding granularity sits ~4 orders of magnitude above the
+    worst cross-engine co-moment summation drift at this row count, which
+    the parity suite confirms empirically."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_q"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "fn_struct_ops",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS pri,
+           to_json(struct_pack(k := o_orderkey, p := o_orderpriority)) AS s_json,
+           true AS eq_rebuilt
+    FROM orders
+    """,
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, equality, and JSON serialization.
+
+    Structs travel as Tungsten rows (no boxing); to_json is the
+    driver-hashable terminal form (both engines emit compact
+    {"k":<int>,"p":"<str>"} with no nulls present). eq_rebuilt does a
+    real struct-vs-struct comparison against a freshly built value."""
+    o = load_tables(spark, sf_dir)["orders"]
+    s = F.struct(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.to_json(s).alias("s_json"),
+        (
+            s
+            == F.struct(
+                F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+            )
+        ).alias("eq_rebuilt"),
+    )
+
+
+@query(
+    "set_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+         ex AS (SELECT user_id, 'click_minus_view' AS tag
+                FROM (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)),
+         it AS (SELECT user_id, 'click_and_view' AS tag
+                FROM (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b))
+    SELECT tag, user_id, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM ex UNION ALL SELECT * FROM it)
+    GROUP BY tag, user_id
+    """,
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops: EXCEPT ALL and INTERSECT ALL (bag semantics, as
+    opposed to set_except/set_intersect's distinct semantics).
+
+    Spark plans both as aggregate-count + replicate (no sort), one shuffle
+    on the value; grouping the tagged union to (tag, user_id, n) keeps the
+    multiplicities observable while making the output hash-stable."""
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "view").select("user_id")
+    tagged = a.exceptAll(b).withColumn("tag", F.lit("click_minus_view")).unionByName(
+        a.intersectAll(b).withColumn("tag", F.lit("click_and_view"))
+    )
+    return tagged.groupBy("tag", "user_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -1,0 +1,220 @@
+"""Extended LLM-pipeline text operators (round 2): corpus reporting and
+scoped dedup shapes a training-data pipeline runs alongside the §2.10/§2.12
+core (length bucketing, corpus n-gram stats, stopword coverage, per-source
+mix reports, per-source exact dedup).
+
+All keys are explode→agg or broadcast-join shapes — no per-row Python, one
+token-level shuffle each, and every float output is either a ratio of
+identical integers (bit-identical across engines) or rounded far above
+summation noise. Each has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+
+@query(
+    "llm_doc_length_buckets",
+    oracle="""
+    WITH b AS (SELECT lang, CAST(n_chars // 500 AS BIGINT) AS bucket
+               FROM documents)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang)
+               AS share
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def llm_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language (500-char buckets) with
+    within-language share — the first report run before choosing packing
+    and truncation lengths.
+
+    Bucketing is integer division (exact everywhere); share is a ratio of
+    identical integers so the double is bit-identical across engines and
+    hashes unrounded. groupBy + one tiny window over the aggregate —
+    the window input is |langs|×|buckets| rows, not the corpus."""
+    d = load_tables(spark, sf_dir)["documents"]
+    agg = (
+        d.select("lang", F.floor(F.col("n_chars") / 500).cast("bigint").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("share"),
+    )
+
+
+@query(
+    "llm_ngram_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE text <> ''),
+    ex AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+           FROM t),
+    bg AS (SELECT a.tok || ' ' || b.tok AS bigram
+           FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (count desc, bigram tiebreak).
+
+    Bigrams are built inside the array (transform over an index sequence —
+    no self-join, no second explode): each doc emits its n-1 bigrams from
+    one pass, then explode→count→TakeOrderedAndProject. The oracle builds
+    the same bigrams relationally via an ordinality self-join. At 100 TB
+    the only shuffle carries (bigram, partial count) pairs, and the top-20
+    never leaves the map side until the final 20-row reduce."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    bgs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat(element_at(split(text, ' '), i + 1), ' ',"
+                " element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bgs.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_stopword_coverage",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE text <> ''),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    top AS (SELECT tok FROM (
+                SELECT tok, count(*) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+                FROM tok GROUP BY tok) WHERE rn <= 100)
+    SELECT k.doc_id, k.n_tokens, k.n_stop,
+           CAST(k.n_stop AS DOUBLE) / k.n_tokens AS coverage
+    FROM (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(top.tok) AS BIGINT) AS n_stop
+          FROM tok t LEFT JOIN top ON t.tok = top.tok
+          GROUP BY t.doc_id) k
+    """,
+)
+def llm_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stopword coverage, with the stopword list learned from
+    the corpus itself (top-100 tokens by frequency, token tiebreak) — the
+    quality signal behind "mostly-stopwords" filters.
+
+    Two passes over the token stream: (1) corpus term counts →
+    TakeOrderedAndProject top-100 (20-row-scale result, no global sort),
+    (2) per-doc counts with the stop set broadcast into the probe.
+    Coverage is a ratio of identical integers — bit-identical doubles."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+        .select(F.col("tok").alias("stop_tok"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(top), toks["tok"] == F.col("stop_tok"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.count("stop_tok").cast("bigint").alias("n_stop"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("coverage"),
+    )
+
+
+@query(
+    "llm_source_mix_report",
+    oracle="""
+    WITH d AS (SELECT source, lang, n_chars,
+                      len(string_split(text, ' ')) AS n_toks
+               FROM documents),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                   round(avg(n_chars), 4) AS mean_chars
+            FROM d GROUP BY source),
+    lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang),
+    ent AS (SELECT source,
+                   round(-sum((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)),
+                         6) AS lang_entropy
+            FROM (SELECT source, lang, c,
+                         sum(c) OVER (PARTITION BY source) AS t FROM lc)
+            GROUP BY source)
+    SELECT a.source, a.n_docs, a.n_tokens, a.mean_chars, e.lang_entropy
+    FROM agg a JOIN ent e USING (source)
+    """,
+)
+def llm_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix report: doc/token counts, mean length, and
+    language-distribution entropy — the dashboard a data-mixing run reads
+    before weighting sources.
+
+    Token counts come from size(split(..)) — no explode, the count is a
+    per-row expression. Entropy is computed over the |source|×|lang|
+    aggregate (hundreds of rows), not the corpus; rounded at 6dp, ~10
+    orders above libm/summation drift on ≤6 terms."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "source", "lang", "n_chars", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    t = Window.partitionBy("source")
+    p = F.col("c").cast("double") / F.sum("c").over(t)
+    ent = (
+        lc.select("source", (p * F.log(p)).alias("term"))
+        .groupBy("source")
+        .agg(F.round(-F.sum("term"), 6).alias("lang_entropy"))
+    )
+    return agg.join(ent, "source")
+
+
+@query(
+    "llm_dedup_within_source",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+    FROM documents GROUP BY source
+    """,
+)
+def llm_dedup_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup scoped per source: duplicate counts by content
+    fingerprint within each source (cross-source duplicates survive —
+    llm_exact_dedup is the global variant).
+
+    The distinct runs on the 128-bit md5, not the text — the shuffle
+    carries 16-byte keys regardless of document size, and the per-source
+    scope means the distinct-key space partitions by (source, hash) with
+    uniform fan-out (hash keys cannot skew)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).cast("bigint").alias("n_dupes"),
+    )
