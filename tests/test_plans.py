@@ -168,3 +168,53 @@ def test_cdc_merge_prunes_partitions(spark, sf_dir):
     s = _plan(spark, "cdc_partition_pruned_merge", sf_dir)
     assert "PartitionFilters" in s
     assert "bucket" in s.split("PartitionFilters", 1)[1][:600]
+
+
+def test_q10_ranks_via_take_ordered_with_broadcast_dims(spark, sf_dir):
+    """agg_returned_items: the top-20 must be TakeOrderedAndProject (no
+    global sort) and customer/nation must come in as broadcasts."""
+    s = _plan(spark, "agg_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastHashJoin" in s
+    assert "EqualTo(l_returnflag,R)" in s, "returnflag filter not pushed to scan"
+
+
+def test_q19_disjunction_extracted_into_scan(spark, sf_dir):
+    """join_disjunctive_pred: Catalyst must extract the lineitem-side
+    implication of the OR-of-ANDs (quantity bounds) into PushedFilters —
+    the scan must not read every row just because the predicate spans the
+    join."""
+    s = _plan(spark, "join_disjunctive_pred", sf_dir)
+    assert "PushedFilters" in s
+    pushed = s.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_quantity" in pushed, "quantity disjunction not extracted into scan"
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """agg_large_volume_customer: the HAVING-filtered aggregate must sit
+    BELOW the joins (aggregate-then-join, not join-then-aggregate)."""
+    import re
+
+    s = _plan(spark, "agg_large_volume_customer", sf_dir)
+    # operator numbering is leaves-first: the lineitem aggregate must get a
+    # smaller id than every join, i.e. it runs below them
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", s)]
+    join_ids = [
+        int(m) for m in re.findall(r"\((\d+)\) (?:SortMergeJoin|BroadcastHashJoin)", s)
+    ]
+    assert agg_ids and join_ids
+    assert min(agg_ids) < min(join_ids), (s, agg_ids, join_ids)
+
+
+def test_ngram_topk_take_ordered(spark, sf_dir):
+    s = _plan(spark, "llm_ngram_topk", sf_dir)
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s and "SortMergeJoin" not in s, (
+        "bigrams must be built array-side, not via a self-join"
+    )
+
+
+def test_stopword_coverage_broadcasts_stop_set(spark, sf_dir):
+    s = _plan(spark, "llm_stopword_coverage", sf_dir)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
