@@ -702,13 +702,16 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+    ), shh AS (
+      SELECT doc_id, md5(shingle || '#a') AS ha, md5(shingle || '#b') AS hb
+      FROM sh
     ), mh AS (
       SELECT doc_id,
-             min(md5(shingle || '#0')) AS h0, min(md5(shingle || '#1')) AS h1,
-             min(md5(shingle || '#2')) AS h2, min(md5(shingle || '#3')) AS h3,
-             min(md5(shingle || '#4')) AS h4, min(md5(shingle || '#5')) AS h5,
-             min(md5(shingle || '#6')) AS h6, min(md5(shingle || '#7')) AS h7
-      FROM sh GROUP BY doc_id
+             min(substring(ha, 1, 8))  AS h0, min(substring(ha, 9, 8))  AS h1,
+             min(substring(ha, 17, 8)) AS h2, min(substring(ha, 25, 8)) AS h3,
+             min(substring(hb, 1, 8))  AS h4, min(substring(hb, 9, 8))  AS h5,
+             min(substring(hb, 17, 8)) AS h6, min(substring(hb, 25, 8)) AS h7
+      FROM shh GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
       UNION ALL SELECT doc_id, 1, h2 || h3 FROM mh
@@ -722,15 +725,18 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-engine-VERIFIED MinHash-LSH: md5 hash family (8 seeded
-    permutation proxies, 4 bands × 2 rows), so the full
-    shingle → signature → band → candidate-pair pipeline hash-matches
-    DuckDB bit for bit — the only non-deterministic-looking stage of the
-    dedup family made auditable. The production twin
-    (llm_near_dedup_minhash) runs the same shape on xxhash64, ~10× faster
-    per hash but JVM-only. Per-doc work is 8 array folds over the
-    distinct-shingle array (tokenization is inlined per fold by Catalyst —
-    cheap next to the md5s); the band self-join is per-bucket, never n²."""
+    """Cross-engine-VERIFIED MinHash-LSH: md5 hash family (8 permutation
+    proxies = two seeded digests BIT-SLICED into four 32-bit lanes each,
+    4 bands × 2 rows), so the full shingle → signature → band →
+    candidate-pair pipeline hash-matches DuckDB bit for bit — the only
+    non-deterministic-looking stage of the dedup family made auditable.
+    Bit-slicing cuts md5 evaluations 4× vs one digest per lane (the
+    round-1 design): a 128-bit digest IS four independent 32-bit hashes,
+    and the min is taken per-lane AFTER slicing, so each lane remains a
+    valid minhash. The production twin (llm_near_dedup_minhash) runs the
+    same shape on xxhash64, ~10× faster per hash but JVM-only. Per-doc
+    work is 2 md5 folds + 8 cheap substring/min folds over the
+    distinct-shingle array; the band self-join is per-bucket, never n²."""
     d = load_tables(spark, sf_dir)["documents"]
     ts = F.split("text", " ")
     docs = d.select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
@@ -740,13 +746,19 @@ def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"
         )
     )
+    digs = docs.select("doc_id", sh.alias("sh")).select(
+        "doc_id",
+        F.expr("transform(sh, x -> md5(concat(x, '#a')))").alias("ha"),
+        F.expr("transform(sh, x -> md5(concat(x, '#b')))").alias("hb"),
+    )
     mins = [
         F.array_min(
-            F.expr(f"transform(sh, x -> md5(concat(x, '#{s}')))")
-        ).alias(f"h{s}")
-        for s in range(8)
+            F.expr(f"transform({c}, h -> substring(h, {1 + 8 * j}, 8))")
+        ).alias(f"h{4 * k + j}")
+        for k, c in enumerate(("ha", "hb"))
+        for j in range(4)
     ]
-    mh = docs.select("doc_id", sh.alias("sh")).select("doc_id", *mins)
+    mh = digs.select("doc_id", *mins)
     bands = mh.select(
         "doc_id",
         F.explode(

@@ -19,6 +19,8 @@ from __future__ import annotations
 import hashlib
 import sys
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -497,8 +499,88 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: EITHER band — the MinHash-LSH banding trick applied to hyperplane LSH.
 #: Fewer bits per band than llm_ann_lsh's single 8-bit bucket → much higher
 #: recall at moderate cosine (p^4 vs p^8 per band, unioned across bands).
-_BANDS = [_PLANES[0:4], _PLANES[4:8]]
+#: Banding for near-dup dedup: 12 bands × 6 sign bits from 72 planes.
+#: The fixture (and any weak-similarity regime) has its true pairs at
+#: cos 0.35-0.5, where collision probability per plane is only ~0.6 —
+#: recall there is bought with MANY narrow bands, not a few wide ones.
+#: Measured on sf0.1 against the brute-force truth (4137 pairs ≥ τ):
+#: round-1's 2 bands × 4 bits = 0.285 recall / 248k candidates;
+#: this 12×6 = 0.532 recall / 365k candidates — ~2× the recall for 1.5×
+#: the candidates, affordable because candidate verification is a
+#: vectorized Arrow pass (_pair_cos_udf), not an interpreted fold.
+#: The dial at 100 TB: bits per band ∝ log(n) keeps buckets bounded;
+#: band count buys recall linearly in cost.
+_N_BAND_BITS = 6
+_N_DEDUP_BANDS = 12
+_PLANES_EXT = [_plane(p) for p in range(_N_BAND_BITS * _N_DEDUP_BANDS)]
+_BANDS = [
+    _PLANES_EXT[_N_BAND_BITS * j : _N_BAND_BITS * (j + 1)]
+    for j in range(_N_DEDUP_BANDS)
+]
 _NEAR_DUP_TAU = 0.35
+
+_BAND_SQL_COLS = ",\n             ".join(
+    f"{_sql_bucket('embedding', _BANDS[j])} AS b{j}" for j in range(len(_BANDS))
+)
+_BAND_SQL_MELT = "\n      UNION ALL\n      ".join(
+    f"SELECT vec_id, {j} AS band, b{j} AS bv FROM b" for j in range(len(_BANDS))
+)
+
+
+def _band_ids_udf():
+    """Vectorized band-id computation: ONE Arrow batch pass does the
+    n×64 @ 64×72 matmul and packs sign bits into the 12 band ids — the
+    numpy fast path for what is otherwise 72 interpreted HOF folds per
+    row. Sign decisions are ulp-robust (plane dots are O(1) magnitudes),
+    so the SQL oracle's per-plane CASE WHEN twin lands on identical
+    buckets."""
+    import numpy as np
+
+    mat = np.array([p for band in _BANDS for p in band], dtype=np.float64).T
+    w = _N_BAND_BITS
+
+    @F.pandas_udf("array<int>")
+    def band_ids(embs: pd.Series) -> pd.Series:
+        m = np.vstack(embs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        bits = (m @ mat) > 0
+        weights = 1 << np.arange(w)
+        ids = np.stack(
+            [
+                (bits[:, w * j : w * (j + 1)] * weights).sum(axis=1)
+                for j in range(len(_BANDS))
+            ],
+            axis=1,
+        )
+        return pd.Series(list(ids.astype("int32")))
+
+    return band_ids
+
+
+def _pair_cos_udf():
+    """Vectorized exact-cosine verification for candidate pairs: float64
+    numpy over Arrow batches. The τ cut happens on this value; pairwise
+    vs sequential summation differ only in final ulps, and a candidate
+    whose cosine sits within 1e-12 of τ does not occur in practice (the
+    parity suite would flag it as a one-row diff if it ever did)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def pair_cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        a = np.vstack(ea.apply(lambda x: np.asarray(x, dtype=np.float64)))
+        b = np.vstack(eb.apply(lambda x: np.asarray(x, dtype=np.float64)))
+        dots = (a * b).sum(axis=1)
+        return pd.Series(
+            dots / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        )
+
+    return pair_cos
+
+
+def _banded_melt(e: DataFrame) -> DataFrame:
+    """(vec_id, band, bv): every vector's band ids in one vectorized pass,
+    posexploded to the long form the candidate self-join consumes."""
+    ids = e.select("vec_id", _band_ids_udf()("embedding").alias("bands"))
+    return ids.select("vec_id", F.posexplode("bands").alias("band", "bv"))
 
 
 @query(
@@ -506,13 +588,10 @@ _NEAR_DUP_TAU = 0.35
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             {_sql_bucket('embedding', _BANDS[0])} AS b0,
-             {_sql_bucket('embedding', _BANDS[1])} AS b1
+             {_BAND_SQL_COLS}
       FROM embeddings
     ), m AS (
-      SELECT vec_id, 0 AS band, b0 AS bv FROM b
-      UNION ALL
-      SELECT vec_id, 1 AS band, b1 AS bv FROM b
+      {_BAND_SQL_MELT}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
       FROM m a JOIN m x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
@@ -534,28 +613,19 @@ def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates only → per-document keep/drop verdict (drop every doc
     with a ≥ τ neighbor of smaller id; keep_id = that smallest neighbor).
 
-    vs llm_ann_lsh (one 8-bit bucket): banding ORs two 4-bit bands, so
-    recall at τ=0.35 is ~1-(1-p⁴)² instead of p⁸ — the standard
-    recall/cost dial for dedup, where missing a dup is worse than extra
-    candidate checks. At 100 TB: band melt is a projection (no shuffle),
-    candidate join shuffles on (band, 4-bit value) — add bits per band as
-    the corpus grows to keep bucket sizes bounded, and salt hot buckets;
-    the verdict agg shuffles once on doc id. No O(n²) stage anywhere."""
+    vs llm_ann_lsh (one 8-bit bucket): banding ORs twelve 6-bit bands —
+    in this fixture's weak-similarity regime (true pairs at cos
+    0.35-0.5, per-plane collision p ≈ 0.6) recall is bought with many
+    narrow bands: measured 0.532 at sf0.1 vs brute force, ~2× round-1's
+    2×4 scheme at 1.5× the candidates (see _BANDS note). Band ids come
+    from one vectorized Arrow matmul (_band_ids_udf); candidate
+    verification is exact float64 cosine in a second Arrow pass
+    (_pair_cos_udf). At 100 TB: band melt is a projection (no shuffle),
+    candidate join shuffles on (band, bucket) — add bits per band as the
+    corpus grows to keep bucket sizes bounded, and salt hot buckets; the
+    verdict agg shuffles once on doc id. No O(n²) stage anywhere."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    b = e.select(
-        "vec_id",
-        _spark_bucket("embedding", _BANDS[0]).alias("b0"),
-        _spark_bucket("embedding", _BANDS[1]).alias("b1"),
-    )
-    m = b.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.col("b0").alias("bv")),
-                F.struct(F.lit(1).alias("band"), F.col("b1").alias("bv")),
-            )
-        ).alias("mb"),
-    ).select("vec_id", F.col("mb.band").alias("band"), F.col("mb.bv").alias("bv"))
+    m = _banded_melt(e)
     a, x = m.alias("a"), m.alias("x")
     cand = (
         a.join(
@@ -567,26 +637,7 @@ def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
         .distinct()
     )
-    # norms once per vector BEFORE the pair join: per-pair work drops from
-    # 3 interpreted HOF folds to 1 (measured 1.8× at sf0.1); dot/na/nb is
-    # bit-identical to the oracle's dot/sqrt(..)/sqrt(..) because sqrt of
-    # the identically-folded self-dot is deterministic
-    nrm = F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
-    ea = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), nrm.alias("na")
-    )
-    eb = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), nrm.alias("nb")
-    )
-    pairs = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(_dbl("emb_a"), _dbl("emb_b")) / F.col("na") / F.col("nb")).alias("cos"),
-        )
-    )
+    pairs = _verify_pairs(e, cand)
     return (
         pairs.where(F.col("cos") >= _NEAR_DUP_TAU)
         .groupBy(F.col("id_b").alias("drop_id"))
@@ -600,13 +651,10 @@ def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_PAIR_SQL_CTE = f"""
     b AS (
       SELECT vec_id, embedding,
-             {_sql_bucket('embedding', _BANDS[0])} AS b0,
-             {_sql_bucket('embedding', _BANDS[1])} AS b1
+             {_BAND_SQL_COLS}
       FROM embeddings
     ), m AS (
-      SELECT vec_id, 0 AS band, b0 AS bv FROM b
-      UNION ALL
-      SELECT vec_id, 1 AS band, b1 AS bv FROM b
+      {_BAND_SQL_MELT}
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
       FROM m a JOIN m x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
@@ -619,23 +667,24 @@ _DUP_PAIR_SQL_CTE = f"""
     )"""
 
 
+def _verify_pairs(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """(id_a, id_b, cos): exact float64 cosine for every candidate pair,
+    computed by the vectorized Arrow pass (_pair_cos_udf) after joining
+    each side's embedding back in. The join shuffles only candidate ids +
+    embeddings — never all pairs."""
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", _pair_cos_udf()("emb_a", "emb_b").alias("cos"))
+    )
+
+
 def _dup_edges(e: DataFrame) -> DataFrame:
     """(id_a < id_b) near-duplicate edges: banded-LSH candidates → exact
     cosine ≥ τ. Same formulation as llm_near_dedup_embedding's pair stage."""
-    b = e.select(
-        "vec_id",
-        _spark_bucket("embedding", _BANDS[0]).alias("b0"),
-        _spark_bucket("embedding", _BANDS[1]).alias("b1"),
-    )
-    m = b.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.col("b0").alias("bv")),
-                F.struct(F.lit(1).alias("band"), F.col("b1").alias("bv")),
-            )
-        ).alias("mb"),
-    ).select("vec_id", F.col("mb.band").alias("band"), F.col("mb.bv").alias("bv"))
+    m = _banded_melt(e)
     a, x = m.alias("a"), m.alias("x")
     cand = (
         a.join(
@@ -647,21 +696,8 @@ def _dup_edges(e: DataFrame) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
         .distinct()
     )
-    nrm = F.sqrt(_dot(_dbl("embedding"), _dbl("embedding")))
-    ea = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), nrm.alias("na")
-    )
-    eb = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), nrm.alias("nb")
-    )
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(_dbl("emb_a"), _dbl("emb_b")) / F.col("na") / F.col("nb")).alias("cos"),
-        )
+        _verify_pairs(e, cand)
         .where(F.col("cos") >= _NEAR_DUP_TAU)
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     )
@@ -678,16 +714,14 @@ def _dup_edges(e: DataFrame) -> DataFrame:
       SELECT DISTINCT u AS id FROM sym
     ), adj AS (
       SELECT u, v FROM sym UNION ALL SELECT id AS u, id AS v FROM verts
-    ), l1 AS (
-      SELECT u AS id, min(v) AS lbl FROM adj GROUP BY u
-    ), l2 AS (
-      SELECT a.u AS id, min(l1.lbl) AS lbl FROM adj a JOIN l1 ON l1.id = a.v GROUP BY a.u
-    ), l3 AS (
-      SELECT a.u AS id, min(l2.lbl) AS lbl FROM adj a JOIN l2 ON l2.id = a.v GROUP BY a.u
-    ), l4 AS (
-      SELECT a.u AS id, min(l3.lbl) AS lbl FROM adj a JOIN l3 ON l3.id = a.v GROUP BY a.u
+    ), reach AS (
+      WITH RECURSIVE r(u, v) AS (
+        SELECT u, v FROM adj
+        UNION
+        SELECT r.u, a.v FROM r JOIN adj a ON r.v = a.u
+      ) SELECT u, v FROM r
     )
-    SELECT id AS vec_id, lbl AS cluster_id FROM l4
+    SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u
     """,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,8 +738,17 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation whose per-round cost stays at full |E|. Measured on
     the sf0.1 graph (1181 edges, 1383 clustered vectors): propagation
     with pointer halving = 19 rounds / 5.0 s, contraction = 8 rounds /
-    3.7 s, identical labels. The oracle unrolls 4 propagation hops —
-    enough at sf0.01 because the Spark side runs to true convergence
+    3.7 s, identical labels. Round 2 adds the standard production finish:
+    once the CONTRACTED supernode graph drops below a fixed threshold
+    (64k edges — bounded by the constant, not by data scale), the residue
+    is union-found on the driver and the final label map broadcast back,
+    replacing O(log d) further rounds of scheduler overhead with one
+    millisecond-scale local pass; the fixpoint labels are identical
+    (union-by-min keeps every root the component min).
+    The oracle computes the exact transitive closure with a recursive
+    CTE (min reachable id per vertex) — fixpoint-exact at any chain
+    depth, so it stays valid as banding recall changes the graph; the
+    Spark side also runs to true convergence
     (component-min labels are algorithm-independent) and the hash must
     match. At 100 TB: rounds touch the (shrinking) edge list only
     (vertices ≪ corpus: just docs with ≥1 dup); singleton docs never
@@ -719,8 +762,48 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = sym.select("u").distinct().select(
         F.col("u").alias("id"), F.col("u").alias("lbl")
     )
+    # Driver-finish threshold: contraction shrinks the supernode graph
+    # geometrically, so after O(log d) rounds the REMAINING edges (between
+    # supernode labels, not original vertices) are a vanishing fraction of
+    # |E|. Once they fit trivially in driver memory, each further
+    # distributed round costs ~3 scheduled jobs to merge a handful of
+    # labels — so we union-find the residue locally and broadcast the
+    # final label map back. The collect is bounded by the threshold (64k
+    # edges ≈ 1 MB), NOT by data scale; at 100 TB the distributed rounds
+    # still do all the volume work.
+    finish_threshold = 65536
     rounds = 0
-    while not ec.isEmpty():
+    while True:
+        n_edges = ec.count()
+        if n_edges == 0:
+            break
+        if n_edges <= finish_threshold:
+            # residual supernode graph: driver union-find, component-min
+            # labels (identical fixpoint to running contraction to the end)
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                while parent.get(x, x) != x:
+                    parent[x] = parent.get(parent[x], parent[x])
+                    x = parent[x]
+                return x
+
+            for u, v in ec.collect():
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min so every root IS its component min
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            fin = [(x, find(x)) for x in list(parent)]
+            fmap = labels.sparkSession.createDataFrame(
+                fin, "lbl_in: long, lbl_out: long"
+            )
+            labels = labels.join(
+                F.broadcast(fmap), labels["lbl"] == fmap["lbl_in"], "left"
+            ).select(
+                labels["id"], F.coalesce(fmap["lbl_out"], labels["lbl"]).alias("lbl")
+            )
+            break
         rounds += 1
         sym = ec.unionByName(
             ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
