@@ -460,3 +460,44 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+_BINSCAN_DIR = "/tmp/engine_binscan"
+_BINSCAN_N = 24
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS fname,
+           CAST(length(content) AS BIGINT) AS n_bytes,
+           md5(content) AS content_md5
+    FROM read_text('{_BINSCAN_DIR}/*.bin')
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source scan — the ingestion shape for multimodal
+    payloads (each file becomes one row: path, length, raw bytes).
+
+    A fixed set of {_BINSCAN_N} deterministic payload files is
+    (re)written idempotently to a constant directory, then read back via
+    ``format("binaryFile")``; the oracle reads the SAME files with
+    DuckDB's read_text and both engines fingerprint the bytes with md5 —
+    a real two-engine round trip through the filesystem. The fixed dir is
+    reused across runs (no /tmp growth). At scale this reader is the
+    entry point that feeds udf_multimodal_decode's mapInPandas stage;
+    one task per file group, no shuffle."""
+    os.makedirs(_BINSCAN_DIR, exist_ok=True)
+    for i in range(_BINSCAN_N):
+        body = f"payload-{i}-" + "x" * (i * 7 % 50)
+        with open(os.path.join(_BINSCAN_DIR, f"doc_{i:03d}.bin"), "w") as f:
+            f.write(body)
+    back = spark.read.format("binaryFile").load(_BINSCAN_DIR)
+    return (
+        back.select(
+            F.regexp_extract("path", "[^/]+$", 0).alias("fname"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .localCheckpoint(eager=True)
+    )

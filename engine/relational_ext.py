@@ -379,3 +379,93 @@ def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("tag", "user_id").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct via RE-AGGREGABLE bitmap partials (Spark 3.5+
+    bitmap functions): ids are bucketed (bitmap_bucket_number), each
+    bucket builds a fixed-size bit vector (bitmap_construct_agg over
+    bitmap_bit_position), and the final count is a SUM of per-bucket
+    popcounts. Unlike count(DISTINCT) — whose distinct-expand shuffle
+    carries every distinct id — the bitmap shuffle carries one ≤4 KB
+    vector per (group, bucket), and the partials are mergeable across
+    days/segments the way HLL sketches are, but EXACT. The oracle is the
+    plain distinct count: identical answer, different physics."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
+    )
+
+
+@query(
+    "sql_exists_decorrelated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT')
+    """,
+)
+def sql_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point.
+
+    Catalyst decorrelates both subqueries into a LEFT SEMI and a LEFT
+    ANTI join against pre-filtered orders — no per-row subquery
+    execution exists in the physical plan (plan-asserted). The same text
+    runs on DuckDB, whose optimizer does the same rewrite: identical
+    results from two independent decorrelation engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey,
+           CAST(floor((o_totalprice -
+                 (SELECT (CAST(sum(CAST(round(o2.o_totalprice * 100, 0) AS BIGINT))
+                               AS DOUBLE) / 100) / count(*)
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) * 100 + 0.5)
+                AS BIGINT) AS diff_cents
+    FROM orders o
+"""
+
+
+@query("sql_scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its customer's average,
+    in cents) through the SQL entry point. Catalyst rewrites it to one
+    aggregate per customer + a join — the subquery runs once, not per row.
+
+    Two cross-engine determinism lessons are baked in (both observed as
+    test failures first): (1) the average is computed over EXACT integer
+    cents — float sums differ between engines by ~1e-5 at this magnitude,
+    flipping rounding boundaries; integer sums are order-independent, so
+    every downstream double op is bit-identical. (2) the terminal value
+    avoids round(): Spark's round() goes through BigDecimal's SHORTEST
+    DECIMAL REPRESENTATION with HALF_UP (round(-138507.235, 2) →
+    -138507.24) while DuckDB rounds the BINARY value (-138507.23499…8 →
+    -138507.23) — identical doubles, different answers. floor(x*100+0.5)
+    is a pure value function, so identical doubles give identical
+    cents in any engine."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)

@@ -218,3 +218,48 @@ def llm_dedup_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
         (F.count("*") - F.countDistinct(F.md5("text"))).cast("bigint").alias("n_dupes"),
     )
+
+
+@query(
+    "llm_tokenize_regex",
+    oracle=r"""
+    WITH t AS (
+        SELECT event_id,
+               regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')
+                   AS toks
+        FROM events
+    )
+    SELECT event_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+')))
+                AS BIGINT) AS n_num,
+           CAST(len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+')))
+                AS BIGINT) AS n_alpha,
+           array_to_string(toks[1:5], '|') AS head_toks
+    FROM t
+    """,
+)
+def llm_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pre-tokenization (the GPT-2 pre-tokenizer shape:
+    runs of letters | runs of digits | runs of punctuation) over the
+    events props JSON strings — the token-counting primitive that runs
+    BEFORE a real BPE merge table is applied.
+
+    Pure JVM regex (regexp_extract_all + filter HOFs) — no Python in the
+    path; per-row work is independent so the op is scan-parallel at any
+    scale. Counts are integers; the head sample is serialized to a string
+    for driver hashing."""
+    ev = load_tables(spark, sf_dir)["events"]
+    toks = F.regexp_extract_all("props", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), 0)
+    t = ev.select("event_id", toks.alias("toks"))
+    return t.select(
+        "event_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.expr(r"filter(toks, t -> t rlike '^[0-9]+$')"))
+        .cast("bigint")
+        .alias("n_num"),
+        F.size(F.expr(r"filter(toks, t -> t rlike '^[A-Za-z]+$')"))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.array_join(F.slice("toks", 1, 5), "|").alias("head_toks"),
+    )

@@ -20,6 +20,14 @@ over-passes:
   raise immediately — the driver's canonicalizer crashes on them
   ("unhashable type: numpy.ndarray"), so final projections must serialize
   arrays/maps to strings.
+- round() is NOT cross-engine deterministic even on identical doubles:
+  Spark routes doubles through BigDecimal's shortest-decimal-repr with
+  HALF_UP (round(-138507.235, 2) → -138507.24) while DuckDB rounds the
+  binary value (…23499…8 → -138507.23). Harmless when the unrounded
+  value carries float noise anyway (the 5-boundary is measure-zero), but
+  systematic when exact decimal arithmetic lands values on half cents —
+  then use floor(x*100 + 0.5) (a pure value function) or emit integer
+  cents (see sql_scalar_subquery).
 """
 
 from __future__ import annotations
