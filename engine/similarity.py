@@ -576,11 +576,29 @@ def _pair_cos_udf():
     return pair_cos
 
 
+#: Skew guard: buckets larger than this are dropped from candidate
+#: generation entirely (promoted from stress.py's 10× probe, where one
+#: concentrated bucket went quadratic). The cap is far above any real
+#: duplicate-cluster size, so recall on actual duplicates is unaffected —
+#: an over-full bucket means the band is too coarse for the local density,
+#: and its pairs are overwhelmingly false candidates. Mirrored in the
+#: oracle SQL (msz/mc CTEs); a no-op at fixture scale by construction.
+_BUCKET_CAP = 512
+
+
 def _banded_melt(e: DataFrame) -> DataFrame:
     """(vec_id, band, bv): every vector's band ids in one vectorized pass,
-    posexploded to the long form the candidate self-join consumes."""
+    posexploded to the long form the candidate self-join consumes, with
+    over-full buckets dropped (see _BUCKET_CAP)."""
     ids = e.select("vec_id", _band_ids_udf()("embedding").alias("bands"))
-    return ids.select("vec_id", F.posexplode("bands").alias("band", "bv"))
+    m = ids.select("vec_id", F.posexplode("bands").alias("band", "bv"))
+    ok = (
+        m.groupBy("band", "bv")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= _BUCKET_CAP)
+        .select("band", "bv")
+    )
+    return m.join(F.broadcast(ok), ["band", "bv"]).select("vec_id", "band", "bv")
 
 
 @query(
@@ -592,9 +610,13 @@ def _banded_melt(e: DataFrame) -> DataFrame:
       FROM embeddings
     ), m AS (
       {_BAND_SQL_MELT}
+    ), msz AS (
+      SELECT band, bv FROM m GROUP BY band, bv HAVING count(*) <= 512
+    ), mc AS (
+      SELECT m.* FROM m JOIN msz USING (band, bv)
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
-      FROM m a JOIN m x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
+      FROM mc a JOIN mc x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
     ), pairs AS (
       SELECT c.id_a, c.id_b,
              {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
@@ -655,9 +677,13 @@ _DUP_PAIR_SQL_CTE = f"""
       FROM embeddings
     ), m AS (
       {_BAND_SQL_MELT}
+    ), msz AS (
+      SELECT band, bv FROM m GROUP BY band, bv HAVING count(*) <= 512
+    ), mc AS (
+      SELECT m.* FROM m JOIN msz USING (band, bv)
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
-      FROM m a JOIN m x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
+      FROM mc a JOIN mc x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
     ), pairs AS (
       SELECT c.id_a, c.id_b,
              {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
