@@ -359,11 +359,15 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin reproduces every row exactly (substring is 1-based with identical
     out-of-range truncation in both engines).
 
-    Two distributed passes: (1) learn top-20 bigrams per language from the
-    corpus itself, (2) score each doc against each profile via a broadcast
-    join of its distinct bigrams, argmax with lang tie-break. The fixture's
-    languages share one vocabulary, so accuracy is chance — the key tests
-    the pipeline (profile build → broadcast score → argmax), which is the
+    ONE bigram shuffle feeds everything: the raw stream aggregates to the
+    compact per-(doc, lang, bigram) counted relation first; language
+    profiles RE-aggregate that relation (partial sums of counts, not a
+    second pass over the stream) and per-doc scoring uses its keys as the
+    distinct-bigram set — the two branches share one exchange
+    (ReusedExchange in the plan) instead of round 1's independent
+    profile-agg + distinct over the full stream. The fixture's languages
+    share one vocabulary, so accuracy is chance — the key tests the
+    pipeline (profile build → broadcast score → argmax), which is the
     real LID shape at corpus scale."""
     d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
     bigrams = d.select(
@@ -373,15 +377,15 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, greatest(length(text)-1, 1)), i -> substring(text, i, 2))")
         ).alias("bg"),
     )
-    prof_w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bg")
+    per_doc = bigrams.groupBy("doc_id", "lang", "bg").agg(F.count("*").alias("c"))
     profiles = (
-        bigrams.groupBy(F.col("lang").alias("p_lang"), "bg")
-        .agg(F.count("*").alias("n"))
+        per_doc.groupBy(F.col("lang").alias("p_lang"), "bg")
+        .agg(F.sum("c").alias("n"))
         .withColumn("rn", F.row_number().over(Window.partitionBy("p_lang").orderBy(F.col("n").desc(), "bg")))
         .where(F.col("rn") <= 20)
         .select("p_lang", "bg")
     )
-    doc_bg = bigrams.select("doc_id", "lang", "bg").distinct()
+    doc_bg = per_doc.select("doc_id", "lang", "bg")
     scores = (
         doc_bg.join(F.broadcast(profiles), "bg")
         .groupBy("doc_id", "lang", "p_lang")
