@@ -507,7 +507,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: round-1's 2 bands × 4 bits = 0.285 recall / 248k candidates;
 #: this 12×6 = 0.532 recall / 365k candidates — ~2× the recall for 1.5×
 #: the candidates, affordable because candidate verification is a
-#: vectorized Arrow pass (_pair_cos_udf), not an interpreted fold.
+#: per-bucket normalized matmul (_banded_tau_pairs), not per-pair work.
 #: The dial at 100 TB: bits per band ∝ log(n) keeps buckets bounded;
 #: band count buys recall linearly in cost.
 _N_BAND_BITS = 6
@@ -556,26 +556,6 @@ def _band_ids_udf():
     return band_ids
 
 
-def _pair_cos_udf():
-    """Vectorized exact-cosine verification for candidate pairs: float64
-    numpy over Arrow batches. The τ cut happens on this value; pairwise
-    vs sequential summation differ only in final ulps, and a candidate
-    whose cosine sits within 1e-12 of τ does not occur in practice (the
-    parity suite would flag it as a one-row diff if it ever did)."""
-    import numpy as np
-
-    @F.pandas_udf("double")
-    def pair_cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        a = np.vstack(ea.apply(lambda x: np.asarray(x, dtype=np.float64)))
-        b = np.vstack(eb.apply(lambda x: np.asarray(x, dtype=np.float64)))
-        dots = (a * b).sum(axis=1)
-        return pd.Series(
-            dots / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
-        )
-
-    return pair_cos
-
-
 #: Skew guard: buckets larger than this are dropped from candidate
 #: generation entirely (promoted from stress.py's 10× probe, where one
 #: concentrated bucket went quadratic). The cap is far above any real
@@ -583,6 +563,7 @@ def _pair_cos_udf():
 #: an over-full bucket means the band is too coarse for the local density,
 #: and its pairs are overwhelmingly false candidates. Mirrored in the
 #: oracle SQL (msz/mc CTEs); a no-op at fixture scale by construction.
+#: It also bounds _banded_tau_pairs' per-group matmul block (≤512×512).
 _BUCKET_CAP = 512
 
 
@@ -640,28 +621,18 @@ def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.35-0.5, per-plane collision p ≈ 0.6) recall is bought with many
     narrow bands: measured 0.532 at sf0.1 vs brute force, ~2× round-1's
     2×4 scheme at 1.5× the candidates (see _BANDS note). Band ids come
-    from one vectorized Arrow matmul (_band_ids_udf); candidate
-    verification is exact float64 cosine in a second Arrow pass
-    (_pair_cos_udf). At 100 TB: band melt is a projection (no shuffle),
-    candidate join shuffles on (band, bucket) — add bits per band as the
-    corpus grows to keep bucket sizes bounded, and salt hot buckets; the
-    verdict agg shuffles once on doc id. No O(n²) stage anywhere."""
+    from one vectorized Arrow matmul (_band_ids_udf); candidate pairs are
+    verified PER BUCKET with a normalized-matmul applyInPandas block
+    (_banded_tau_pairs) — vectors cross into Python once per (vector,
+    band), never once per pair. At 100 TB: band melt is a projection (no
+    shuffle), the bucket groupBy shuffles on (band, bucket) — add bits
+    per band as the corpus grows to keep bucket sizes bounded (the
+    _BUCKET_CAP fuse drops what still concentrates); the verdict agg
+    shuffles once on doc id. No O(n²) stage on the corpus; per-bucket
+    work is capped quadratic by construction."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    m = _banded_melt(e)
-    a, x = m.alias("a"), m.alias("x")
-    cand = (
-        a.join(
-            x,
-            (F.col("a.band") == F.col("x.band"))
-            & (F.col("a.bv") == F.col("x.bv"))
-            & (F.col("a.vec_id") < F.col("x.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
-        .distinct()
-    )
-    pairs = _verify_pairs(e, cand)
     return (
-        pairs.where(F.col("cos") >= _NEAR_DUP_TAU)
+        _banded_tau_pairs(e)
         .groupBy(F.col("id_b").alias("drop_id"))
         .agg(
             F.min("id_a").alias("keep_id"),
@@ -693,39 +664,65 @@ _DUP_PAIR_SQL_CTE = f"""
     )"""
 
 
-def _verify_pairs(e: DataFrame, cand: DataFrame) -> DataFrame:
-    """(id_a, id_b, cos): exact float64 cosine for every candidate pair,
-    computed by the vectorized Arrow pass (_pair_cos_udf) after joining
-    each side's embedding back in. The join shuffles only candidate ids +
-    embeddings — never all pairs."""
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", _pair_cos_udf()("emb_a", "emb_b").alias("cos"))
+def _banded_tau_pairs(e: DataFrame) -> DataFrame:
+    """(id_a < id_b, cos) for every same-bucket pair with cos ≥ τ —
+    verified PER BUCKET with applyInPandas instead of materializing the
+    candidate pair list.
+
+    Why: in a dense/weak-similarity regime the candidate count is
+    quadratic in bucket occupancy; joining each side's 64-float vector
+    onto every candidate row ships O(|pairs|·dim) through Arrow (measured
+    ~38 GB at the 10× fixture — 37M candidates — taking 25-150 s). Here
+    each (band, bucket) group arrives ONCE per member vector
+    (O(n·bands·dim) transfer, ~120 MB at 10×), computes its full cosine
+    block with one normalized matmul, and emits only the τ-passing pairs.
+    _BUCKET_CAP bounds the group (≤512 rows → ≤16 MB of C matrix), so no
+    group can blow worker memory. Cross-band duplicate pairs collapse via
+    groupBy min(cos) — the same pair's cosine can differ in final ulps
+    between bands' matmul blockings, min makes the survivor
+    deterministic; at 6dp rounding the variants agree anyway."""
+    import numpy as np
+
+    m = _banded_melt(e).join(e.select("vec_id", "embedding"), "vec_id")
+    tau = _NEAR_DUP_TAU
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        mat = np.vstack(
+            pdf["embedding"].iloc[order].apply(
+                lambda a: np.asarray(a, dtype=np.float64)
+            )
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        c = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = c[iu] >= tau
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "cos": c[iu][keep],
+            }
+        )
+
+    pairs = m.groupBy("band", "bv").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cos double"
     )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
 
 
 def _dup_edges(e: DataFrame) -> DataFrame:
     """(id_a < id_b) near-duplicate edges: banded-LSH candidates → exact
-    cosine ≥ τ. Same formulation as llm_near_dedup_embedding's pair stage."""
-    m = _banded_melt(e)
-    a, x = m.alias("a"), m.alias("x")
-    cand = (
-        a.join(
-            x,
-            (F.col("a.band") == F.col("x.band"))
-            & (F.col("a.bv") == F.col("x.bv"))
-            & (F.col("a.vec_id") < F.col("x.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
-        .distinct()
-    )
-    return (
-        _verify_pairs(e, cand)
-        .where(F.col("cos") >= _NEAR_DUP_TAU)
-        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    cosine ≥ τ. Same formulation as llm_near_dedup_embedding's pair stage
+    (per-bucket matmul verification, see _banded_tau_pairs)."""
+    return _banded_tau_pairs(e).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
 
 
