@@ -469,3 +469,71 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents in any engine."""
     load_tables(spark, sf_dir)
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+                FROM events)
+    SELECT a.w AS week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(b.user_id) AS BIGINT) AS n_retained,
+           CAST(count(b.user_id) AS DOUBLE) / count(*) AS retention
+    FROM wk a LEFT JOIN wk b
+      ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
+    GROUP BY a.w
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: of the users active in week w, the share
+    also active in week w+1 — the canonical product-analytics rollup.
+
+    The (user, week) activity relation is built ONCE (distinct over a
+    truncation — the shuffle carries one row per user-week, not per
+    event) and self-joined with a one-week offset; both sides share the
+    same partitioning. Retention is a ratio of identical integers —
+    bit-identical doubles, hashed unrounded. Both engines truncate weeks
+    to ISO Mondays."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wk = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    nxt = wk.select(
+        F.col("user_id").alias("b_user"),
+        (F.col("w") - F.expr("INTERVAL 7 DAY")).alias("b_prev_w"),
+    )
+    return (
+        wk.join(
+            nxt,
+            (F.col("user_id") == F.col("b_user")) & (F.col("w") == F.col("b_prev_w")),
+            "left",
+        )
+        .groupBy(F.col("w").alias("week"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.count("b_user").cast("bigint").alias("n_retained"),
+            (F.count("b_user").cast("double") / F.count("*")).alias("retention"),
+        )
+    )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-3 orders per customer) through
+    the SQL entry point — the SQL-standard spelling of top-k-per-group.
+
+    Catalyst decorrelates the LATERAL into a ranked window join rather
+    than running the subquery per customer row; DuckDB's optimizer does
+    its own rewrite of the identical text. The unique (o_totalprice,
+    o_orderkey) sort makes the top-3 deterministic in both engines.
+    win_topk_per_group is the DataFrame spelling of the same shape."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
