@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Same-harness Spark-vs-DuckDB comparison over the registered oracles.
+
+Runs each selected key's Spark DataFrame program AND its DuckDB oracle SQL
+on the SAME parquet fixtures, min-of-N warm, and prints a markdown table
+plus one JSON line. This is the discipline BENCH.md's r02 section records:
+both engines timed in one session, identical inputs, identical logical
+work — no stale-baseline contamination.
+
+Usage:
+    python scripts/bench_compare.py [sf_dir] [keys_csv] [reps]
+
+Defaults: sf_dir=/root/testdata/sf0.1, keys = the bench.py headline set
+that has oracles, reps=3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_KEYS = [
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "agg_returned_items",
+    "agg_large_volume_customer",
+    "join_disjunctive_pred",
+    "win_topk_per_group",
+    "win_sessionize",
+    "cdc_snapshot_diff",
+    "cdc_dedup_extract",
+    "llm_tf_top_terms",
+    "llm_centroids",
+    "llm_near_dedup_embedding",
+    "llm_dedup_clusters",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    keys = sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT_KEYS
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from engine import registry
+    from engine.io import get_spark
+    from tests.oracle import duck_run_df
+
+    registry.load_all()
+    spark = get_spark(app="bench-compare")
+
+    rows = []
+    for k in keys:
+        fn = registry.QUERIES[k]
+        fn(spark, sf_dir).collect()  # warm (plan compile, fixture cache)
+        s_times = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            s_times.append(time.time() - t0)
+        d_times = None
+        sql = registry.ORACLE_SQL.get(k)
+        if sql is not None:
+            duck_run_df(sf_dir, sql)  # warm (duckdb reads + plans)
+            d_times = []
+            for _ in range(reps):
+                t0 = time.time()
+                duck_run_df(sf_dir, sql)
+                d_times.append(time.time() - t0)
+        rows.append(
+            {
+                "key": k,
+                "spark_s": round(min(s_times), 4),
+                "duck_s": round(min(d_times), 4) if d_times else None,
+                "ratio": round(min(s_times) / min(d_times), 2) if d_times else None,
+            }
+        )
+        print(
+            f"| {k} | {rows[-1]['spark_s']} | {rows[-1]['duck_s']} |"
+            f" {rows[-1]['ratio']} |",
+            file=sys.stderr,
+        )
+
+    total_s = round(sum(r["spark_s"] for r in rows), 4)
+    total_d = round(sum(r["duck_s"] for r in rows if r["duck_s"]), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_compare",
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "reps": reps,
+                "spark_total": total_s,
+                "duck_total": total_d,
+                "rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
