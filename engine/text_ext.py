@@ -263,3 +263,84 @@ def llm_tokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_alpha"),
         F.array_join(F.slice("toks", 1, 5), "|").alias("head_toks"),
     )
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey,
+               unnest([
+                 'https://' || lower(c_mktsegment) || '.example.com/u/' ||
+                   CAST(c_custkey AS VARCHAR) || '/profile?q=' ||
+                   CAST(c_nationkey AS VARCHAR),
+                 'HTTPS://' || upper(c_mktsegment) || '.EXAMPLE.COM:443/u/' ||
+                   CAST(c_custkey AS VARCHAR) || '/profile?q=' ||
+                   CAST(c_nationkey AS VARCHAR) || '&utm_source=feed',
+                 'https://' || lower(c_mktsegment) || '.example.com/u/' ||
+                   CAST(c_custkey AS VARCHAR) || '/profile?utm_campaign=ads&q=' ||
+                   CAST(c_nationkey AS VARCHAR) || '#top',
+                 'https://' || lower(c_mktsegment) || '.example.com:443/u/' ||
+                   CAST(c_custkey AS VARCHAR) || '/profile?q=' ||
+                   CAST(c_nationkey AS VARCHAR) || '#frag'
+               ]) AS url
+        FROM customer
+    ),
+    n AS (
+        SELECT c_custkey, url,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     'utm_[a-z]+=[a-z]+&', ''),
+                   '[?&]utm_[a-z]+=[a-z]+$', ''),
+                 ':443/', '/') AS norm
+        FROM v
+    )
+    SELECT norm, CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw
+    FROM n GROUP BY norm
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the web-corpus primitive that
+    collapses scheme/host case, default ports, tracking parameters, and
+    fragments before content fetch/dedup ever runs.
+
+    Four deterministic raw variants per customer (case-mangled host,
+    :443, utm_* params, #fragments) must collapse onto ONE normalized
+    key: every group in the output has n_raw = 4 raw variants, which the
+    oracle re-derives with the identical normalization chain (the
+    regexp_replace sequence is order-sensitive — utm-in-the-middle is
+    stripped with its trailing '&' before a terminal utm eats the '?').
+    Pure codegen'd projection + one groupBy on the normalized key; no
+    Python, no skew (keys are per-customer unique)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    key = F.col("c_custkey").cast("string")
+    nat = F.col("c_nationkey").cast("string")
+    seg_lo = F.lower("c_mktsegment")
+    seg_hi = F.upper("c_mktsegment")
+    v0 = F.concat(F.lit("https://"), seg_lo, F.lit(".example.com/u/"), key,
+                  F.lit("/profile?q="), nat)
+    v1 = F.concat(F.lit("HTTPS://"), seg_hi, F.lit(".EXAMPLE.COM:443/u/"), key,
+                  F.lit("/profile?q="), nat, F.lit("&utm_source=feed"))
+    v2 = F.concat(F.lit("https://"), seg_lo, F.lit(".example.com/u/"), key,
+                  F.lit("/profile?utm_campaign=ads&q="), nat, F.lit("#top"))
+    v3 = F.concat(F.lit("https://"), seg_lo, F.lit(".example.com:443/u/"), key,
+                  F.lit("/profile?q="), nat, F.lit("#frag"))
+    raw = c.select("c_custkey", F.explode(F.array(v0, v1, v2, v3)).alias("url"))
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("url"), "#.*$", ""),
+                "utm_[a-z]+=[a-z]+&", ""),
+            r"[?&]utm_[a-z]+=[a-z]+$", ""),
+        ":443/", "/")
+    return (
+        raw.select("c_custkey", "url", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
+        )
+    )
