@@ -218,3 +218,20 @@ def test_stopword_coverage_broadcasts_stop_set(spark, sf_dir):
     s = _plan(spark, "llm_stopword_coverage", sf_dir)
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_exists_decorrelated_to_semi_anti(spark, sf_dir):
+    """sql_exists_decorrelated: both correlated subqueries must become
+    joins (LEFT SEMI + LEFT ANTI) — no per-row subquery execution."""
+    s = _plan(spark, "sql_exists_decorrelated", sf_dir)
+    assert "LeftSemi" in s
+    assert "LeftAnti" in s
+
+
+def test_near_dedup_has_no_pair_level_vector_join(spark, sf_dir):
+    """llm_near_dedup_embedding: candidate verification is the per-bucket
+    FlatMapGroupsInPandas matmul; a pair-level join carrying embedding
+    columns (the 10x Arrow-transfer regression) must not reappear."""
+    s = _plan(spark, "llm_near_dedup_embedding", sf_dir)
+    assert "FlatMapGroupsInPandas" in s
+    assert "SortMergeJoin" not in s
