@@ -959,3 +959,132 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos",
         (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
     )
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), p AS (
+      SELECT label, i AS pos, avg(CAST(v AS DOUBLE)) AS a FROM ex GROUP BY label, i
+    ), cents AS (
+      SELECT label AS c_label, list(a ORDER BY pos) AS centroid FROM p GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, c.c_label,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, c_label AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, c_label) AS rn
+            FROM scored) WHERE rn = 1
+    ), pr AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb, a.cell,
+             {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT idb AS drop_id, CAST(min(ida) AS BIGINT) AS keep_id, cell
+    FROM pr WHERE cos >= {_NEAR_DUP_TAU} GROUP BY idb, cell
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public arXiv
+    2303.09540): assign every vector to its nearest centroid CELL, then
+    find ≥ τ cosine pairs ONLY within cells and drop the higher id —
+    clustering as the blocking structure instead of LSH bands (the
+    llm_near_dedup_embedding twin; SemDeDup's insight is that semantic
+    duplicates land in the same k-means cell, so cross-cell pairs need
+    never be scored).
+
+    Plan: centroids build via posexplode+avg (no whole-vector UDAF),
+    broadcast to every vector for the argmax assignment (the
+    llm_cosine_topk shape — tie-free by the measured ≥1e-4 margin), and
+    each cell verifies pairwise cosine with ONE normalized matmul per
+    group (applyInPandas — same per-group pattern as _banded_tau_pairs).
+    At 100 TB the cell count scales with k ∝ n so cells stay bounded
+    (real SemDeDup uses k ≈ n/10k); here cells are the 10 fixture labels.
+    Verdicts carry no float — drop_id/keep_id/cell hash exactly."""
+    import numpy as np
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    avgs = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("a")
+    )
+    cents = (
+        avgs.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dbl, F.col("centroid"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(dbl, dbl, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    cnrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("centroid", "centroid", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_label")
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos", dot / (nrm * cnrm))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_label").alias("cell"))
+    )
+    tau = _NEAR_DUP_TAU
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame({"ida": [], "idb": [], "cell": []}).astype(
+                {"ida": "int64", "idb": "int64", "cell": "int32"}
+            )
+        mat = np.vstack(
+            pdf["embedding"].iloc[order].apply(
+                lambda a: np.asarray(a, dtype=np.float64)
+            )
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        c = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = c[iu] >= tau
+        return pd.DataFrame(
+            {
+                "ida": ids[iu[0][keep]],
+                "idb": ids[iu[1][keep]],
+                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0], dtype="int32"),
+            }
+        )
+
+    pairs = assign.groupBy("cell").applyInPandas(
+        cell_pairs, "ida long, idb long, cell int"
+    )
+    return pairs.groupBy(F.col("idb").alias("drop_id")).agg(
+        F.min("ida").cast("bigint").alias("keep_id"), F.first("cell").alias("cell")
+    )
