@@ -466,6 +466,22 @@ _BINSCAN_DIR = "/tmp/engine_binscan"
 _BINSCAN_N = 24
 
 
+def _binscan_materialize() -> None:
+    """(Re)write the deterministic payload files — idempotent, byte-stable.
+
+    Called at import time as well as inside the query so the files exist
+    no matter which side (Spark query or DuckDB oracle) a harness runs
+    first."""
+    os.makedirs(_BINSCAN_DIR, exist_ok=True)
+    for i in range(_BINSCAN_N):
+        body = f"payload-{i}-" + "x" * (i * 7 % 50)
+        with open(os.path.join(_BINSCAN_DIR, f"doc_{i:03d}.bin"), "w") as f:
+            f.write(body)
+
+
+_binscan_materialize()
+
+
 @query(
     "scan_binary_files",
     oracle=f"""
@@ -487,11 +503,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused across runs (no /tmp growth). At scale this reader is the
     entry point that feeds udf_multimodal_decode's mapInPandas stage;
     one task per file group, no shuffle."""
-    os.makedirs(_BINSCAN_DIR, exist_ok=True)
-    for i in range(_BINSCAN_N):
-        body = f"payload-{i}-" + "x" * (i * 7 % 50)
-        with open(os.path.join(_BINSCAN_DIR, f"doc_{i:03d}.bin"), "w") as f:
-            f.write(body)
+    _binscan_materialize()
     back = spark.read.format("binaryFile").load(_BINSCAN_DIR)
     return (
         back.select(
