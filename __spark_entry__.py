@@ -31,16 +31,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The only hard-signal driver FAILURES on record (r01 reds, fixed in
+# commit 50ed832 and strict-local-green since): their fixes need a driver
+# row before the claim counts, so they run before everything else.
+_FIXED_REDS = [
+    "fn_string_basic",
+    "fn_array_basic",
+    "fn_map_ops",
+    "fn_date_arith",
+    "fn_cast",
+    "llm_text_stats",
+]
+
+# North-star Structured-Streaming keys promoted into the sample (VERDICT r02
+# item 2): the CDC flagship plus the cheap windowed/dedup/join shapes.
+_PROMOTED_STREAMING = [
+    "stream_cdc_pipeline",
+    "stream_tumbling_count",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_sliding_avg",
+]
+
+# The similarity family has the most novel code and zero driver rows
+# (VERDICT r02 item 7) — sampled as a block right after the above.
+_SIMILARITY = [
+    "llm_semdedup",
+    "llm_dedup_clusters",
+    "llm_near_dedup_embedding",
+    "llm_near_dedup_simhash",
+    "llm_ngram_jaccard",
+    "llm_ann_brute",
+    "llm_ann_lsh",
+    "llm_ann_ivf",
+    "llm_ann_quantized",
+]
+
+
 def _coverage_rank() -> dict[str, int]:
     """Rank keys by how much driver-side correctness evidence they have.
 
-    The driver checks keys in ``queries()`` iteration order and r01 stopped
-    at a 50-key prefix, leaving 112 keys with no hard signal. Merge every
-    CORRECTNESS_r*.json in the repo root and order: never-driver-checked
+    Merge every CORRECTNESS_r*.json in the repo root: never-driver-checked
     first (0), checked-but-not-fully-passed next (1), fully-passed last (2)
-    — so each round's budget goes to the keys with the least evidence.
-    Streaming keys sort after other unchecked keys: each runs a real
-    availableNow query (~5-20 s) and would eat the round budget.
+    — so each round's ~50-key budget goes to the keys with the least
+    evidence.
     """
     import glob
     import json
@@ -63,14 +97,39 @@ def _coverage_rank() -> dict[str, int]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so the
-    least-driver-verified keys run first (see _coverage_rank)."""
+    driver's fixed-prefix check lands on the keys that need it most:
+
+    tier 0: the 6 fixed r01-red keys (fix confirmation, VERDICT item 1);
+    tier 1: 5 promoted streaming keys incl. the stream_cdc_pipeline
+            flagship (VERDICT item 2);
+    tier 2: the 9-key similarity family (VERDICT item 7);
+    tier 3: previously rows-only keys that NOW carry a hash oracle
+            (re-check upgrades r01/r02 recorded as weaker evidence);
+    tier 4: never-driver-checked non-streaming keys, name order;
+    tier 5: never-checked streaming remainder (slow: real availableNow
+            queries), then checked-but-oracle-less keys (re-running the
+            rows-only check adds no evidence), then fully-passed keys.
+    """
     rank = _coverage_rank()
     streaming = {k for k in registry.QUERIES if k.startswith(("stream_", "source_stream"))}
     streaming.add("sink_foreachBatch_merge")
+    explicit: dict[str, int] = {}
+    for tier, keys in ((0, _FIXED_REDS), (1, _PROMOTED_STREAMING), (2, _SIMILARITY)):
+        for k in keys:
+            explicit[k] = tier
 
-    def sort_key(item: tuple[str, Callable]) -> tuple[int, int]:
+    def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]
-        return (rank.get(name, 0), 1 if name in streaming else 0)
+        if name in explicit:
+            return (explicit[name], 0, name)
+        r = rank.get(name, 0)
+        has_oracle = name in registry.ORACLE_SQL
+        if r == 1 and has_oracle:
+            return (3, 0, name)  # ran rows-only before, hash-checkable now
+        if r == 0:
+            return (4, 1 if name in streaming else 0, name)
+        # rank 2 (passed) and rank-1-without-oracle: least marginal value
+        return (5, r, name)
 
     ordered = sorted(registry.QUERIES.items(), key=sort_key)
     return dict(ordered)

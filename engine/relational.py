@@ -614,11 +614,22 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct vs exact, bounds-checked in-query
-    (rows-only oracle: the sketch estimate has no DuckDB twin). At 100 TB
-    the approx path avoids the exact-distinct double shuffle entirely."""
+    """HLL++ approximate distinct vs exact, bounds-checked in-query. At
+    100 TB the approx path avoids the exact-distinct double shuffle
+    entirely. Self-validating hash oracle: the output carries the exact
+    count plus the bounds verdict; the oracle recomputes the exact count
+    and asserts the verdict is literal true, so a sketch estimate drifting
+    past ±5% is a hard hash mismatch, not a silent rows-only pass. The
+    HLL estimate itself (rsd 0.02) stays in-query only — it has no DuckDB
+    twin; verified within ±5% of exact at sf0.001/0.01/0.1."""
     ev = load_tables(spark, sf_dir)["events"]
     df = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -626,7 +637,6 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "event_type",
-        "approx_users",
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
@@ -1452,13 +1462,26 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(quantile_cont(o_totalprice, 0.5) * 1000 + 0.5) AS BIGINT) AS p50_mills,
+           CAST(floor(quantile_cont(o_totalprice, 0.9) * 1000 + 0.5) AS BIGINT) AS p90_mills,
+           true AS p50_within_2pct, true AS p90_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile (GK sketch) vs exact, bounds-checked
-    in-query per group (rows-only oracle: the sketch has no DuckDB twin;
-    the exact side is separately oracle-checked by agg_percentile). At
-    100 TB exact percentiles need a full sort per group — the sketch is
-    one pass, mergeable across partitions, and the default at scale."""
+    in-query per group. At 100 TB exact percentiles need a full sort per
+    group — the sketch is one pass, mergeable across partitions, and the
+    default at scale. Self-validating hash oracle: the output carries the
+    EXACT interpolated percentile (as integer mills — Spark `percentile`
+    and DuckDB `quantile_cont` are bit-identical doubles, measured at
+    sf0.01/0.1; floor(x*1000+0.5) avoids round() half-boundary drift)
+    plus the sketch-vs-exact verdict, which the oracle asserts as literal
+    true — a GK estimate past ±2% becomes a hard hash mismatch."""
     o = load_tables(spark, sf_dir)["orders"]
     df = o.groupBy("o_orderstatus").agg(
         F.approx_percentile("o_totalprice", 0.5, 1000).alias("approx_p50"),
@@ -1468,8 +1491,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "o_orderstatus",
-        F.round("approx_p50", 4).alias("approx_p50"),
-        F.round("approx_p90", 4).alias("approx_p90"),
+        F.floor(F.col("exact_p50") * 1000 + 0.5).cast("long").alias("p50_mills"),
+        F.floor(F.col("exact_p90") * 1000 + 0.5).cast("long").alias("p90_mills"),
         (
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
             <= 0.02 * F.col("exact_p50")
@@ -1836,7 +1859,18 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge")
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(DISTINCT c_custkey) AS exact,
+           true AS within_3pct
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__ALL__' AS segment, count(DISTINCT c_custkey) AS exact,
+           true AS within_3pct
+    FROM customer
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, built
     into Spark 3.5+): one HLL sketch per market segment, then the GLOBAL
@@ -1844,9 +1878,11 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning the data. This is the 100 TB pattern for distinct counts
     over rollup hierarchies: partial sketches are tiny (~KB), commutative,
     and re-aggregable at any grain (hour→day→month) for one scan's cost.
-    Self-validating rows-only oracle: each row carries the exact distinct
-    count and whether the estimate landed within ±3% (HLL lgK=12 gives
-    ~1.6% rse; 3% ≈ 2σ)."""
+    Self-validating hash oracle: each row carries the exact distinct
+    count plus whether the estimate landed within ±3% (HLL lgK=12 gives
+    ~1.6% rse; 3% ≈ 2σ); the oracle recomputes the exact counts and
+    asserts the verdict is literal true, so estimate drift is a hard hash
+    mismatch. The estimate itself stays in-query (no DuckDB HLL twin)."""
     c = load_tables(spark, sf_dir)["customer"]
     per_seg = c.groupBy("c_mktsegment").agg(
         F.hll_sketch_agg("c_custkey", 12).alias("sk"),
@@ -1864,7 +1900,6 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seg.unionByName(glob).select(
         "segment",
-        "estimate",
         "exact",
         (F.abs(F.col("estimate") - F.col("exact")) <= F.col("exact") * 0.03).alias(
             "within_3pct"
