@@ -6,12 +6,17 @@ Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Timing discipline (BASELINE.md): per-query EXECUTION time on a warmed
-session — each query runs five times and the MINIMUM is reported (this
-host shows transient multi-10s scheduling spikes unrelated to the engine;
-min-of-N isolates engine cost). The sink is the noop writer so results are
-fully computed but never shipped to the driver. Spark's ~seconds of fixed
-local job overhead is excluded by the warm-up, matching how the DuckDB
-baseline was measured (in-process, second run).
+session — five INTERLEAVED rounds (each round runs every query once, so a
+transient host stall lands in at most one rep per key instead of poisoning
+all reps of whichever key it coincides with) and the MINIMUM per key is
+reported (this host shows verified multi-10s scheduling spikes unrelated
+to the engine — BENCH.md; min-of-N isolates engine cost). The per-key
+spread (min/med/max across rounds) is emitted alongside so a stall round
+is self-evident in the recorded JSON rather than silently inflating the
+headline. The sink is the noop writer so results are fully computed but
+never shipped to the driver. Spark's ~seconds of fixed local job overhead
+is excluded by the warm-up, matching how the DuckDB baseline was measured
+(in-process, second run).
 """
 
 from __future__ import annotations
@@ -54,15 +59,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).count()  # JVM/codegen warm-up
 
-    times: dict[str, float] = {}
-    for name in HEADLINE + EXTRA:
-        fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(5):  # report min: robust to host scheduling noise
+    reps: dict[str, list[float]] = {n: [] for n in HEADLINE + EXTRA}
+    for _ in range(5):  # interleaved rounds: a stall hits ≤1 rep per key
+        for name in HEADLINE + EXTRA:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+            reps[name].append(time.perf_counter() - t0)
+    times = {n: round(min(r), 4) for n, r in reps.items()}
+    spread = {
+        n: {
+            "min": round(min(r), 4),
+            "med": round(sorted(r)[len(r) // 2], 4),
+            "max": round(max(r), 4),
+        }
+        for n, r in reps.items()
+    }
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -78,6 +90,7 @@ def main() -> None:
                 "value": round(sum(times[n] for n in HEADLINE), 4),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf_val,
                 # scale-regression telemetry: deeper dup chains ⇒ more
                 # label-propagation rounds; watch this grow with sf
