@@ -495,23 +495,27 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup (banded LSH candidates → keep/drop verdicts)
 # ---------------------------------------------------------------------------
 
-#: 2 bands × 4 planes (OR-of-ANDs): a pair is a candidate if it matches on
-#: EITHER band — the MinHash-LSH banding trick applied to hyperplane LSH.
+#: Banded OR-of-ANDs: a pair is a candidate if it matches on ANY single
+#: band — the MinHash-LSH banding trick applied to hyperplane LSH.
 #: Fewer bits per band than llm_ann_lsh's single 8-bit bucket → much higher
 #: recall at moderate cosine (p^4 vs p^8 per band, unioned across bands).
-#: Banding for near-dup dedup: 12 bands × 6 sign bits from 72 planes.
+#: Banding for near-dup dedup: 20 bands × 6 sign bits from 120 planes.
 #: The fixture (and any weak-similarity regime) has its true pairs at
 #: cos 0.35-0.5, where collision probability per plane is only ~0.6 —
 #: recall there is bought with MANY narrow bands, not a few wide ones.
-#: Measured on sf0.1 against the brute-force truth (4137 pairs ≥ τ):
+#: Measured on sf0.1 against the brute-force truth (4137 pairs ≥ τ) with
+#: scripts/lsh_sweep.py (bit-identical numpy twin of this band stage):
 #: round-1's 2 bands × 4 bits = 0.285 recall / 248k candidates;
-#: this 12×6 = 0.532 recall / 365k candidates — ~2× the recall for 1.5×
-#: the candidates, affordable because candidate verification is a
-#: per-bucket normalized matmul (_banded_tau_pairs), not per-pair work.
+#: round-2's 12×6 = 0.532 recall / 365k; this 20×6 = 0.715 recall /
+#: 559k — r03's full frontier is recorded in BENCH.md. Wider bands lose
+#: (7 bits needs 24+ bands to match 6×12's recall); narrower bands (5
+#: bits) buy recall with ~2× the candidates per band. Affordable because
+#: candidate verification is a per-bucket normalized matmul
+#: (_banded_tau_pairs), not per-pair work.
 #: The dial at 100 TB: bits per band ∝ log(n) keeps buckets bounded;
 #: band count buys recall linearly in cost.
 _N_BAND_BITS = 6
-_N_DEDUP_BANDS = 12
+_N_DEDUP_BANDS = 20
 _PLANES_EXT = [_plane(p) for p in range(_N_BAND_BITS * _N_DEDUP_BANDS)]
 _BANDS = [
     _PLANES_EXT[_N_BAND_BITS * j : _N_BAND_BITS * (j + 1)]
@@ -611,16 +615,16 @@ def _banded_melt(e: DataFrame) -> DataFrame:
     """,
 )
 def llm_near_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate DEDUP: banded hyperplane LSH (2
-    bands × 4 sign bits, candidate = match on either band) → exact cosine
+    """Embedding-cosine near-duplicate DEDUP: banded hyperplane LSH (20
+    bands × 6 sign bits, candidate = match on any band) → exact cosine
     on candidates only → per-document keep/drop verdict (drop every doc
     with a ≥ τ neighbor of smaller id; keep_id = that smallest neighbor).
 
-    vs llm_ann_lsh (one 8-bit bucket): banding ORs twelve 6-bit bands —
+    vs llm_ann_lsh (one 8-bit bucket): banding ORs twenty 6-bit bands —
     in this fixture's weak-similarity regime (true pairs at cos
     0.35-0.5, per-plane collision p ≈ 0.6) recall is bought with many
-    narrow bands: measured 0.532 at sf0.1 vs brute force, ~2× round-1's
-    2×4 scheme at 1.5× the candidates (see _BANDS note). Band ids come
+    narrow bands: measured 0.715 at sf0.1 vs brute force at 1.53× the
+    candidates of r02's 12-band scheme (see _BANDS note + BENCH.md). Band ids come
     from one vectorized Arrow matmul (_band_ids_udf); candidate pairs are
     verified PER BUCKET with a normalized-matmul applyInPandas block
     (_banded_tau_pairs) — vectors cross into Python once per (vector,
