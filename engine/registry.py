@@ -50,5 +50,6 @@ def load_all() -> None:
         similarity,
         streaming,
         text_ext,
+        tpch_ext,
         udf,
     )

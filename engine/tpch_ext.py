@@ -1,0 +1,811 @@
+"""Completion of the adapted TPC-H 22 (round 3): the 13 query shapes not
+yet covered by engine/relational.py / relational_ext.py — Q2, Q4, Q6, Q8,
+Q9, Q11, Q13, Q15, Q16, Q17, Q20, Q21, Q22, each adapted to the reduced
+fixture schema (no partsupp table → the distinct (l_suppkey, l_partkey)
+projection of lineitem is the supply relation, with min unit price as the
+supply-cost proxy; no l_commitdate/l_receiptdate → "late" means shipped
+more than N days after o_orderdate; no c_phone/comment → the trailing
+digit of c_name is the country-code proxy and negative s_acctbal is the
+complaints proxy).
+
+Design rules (same as the sibling modules): declarative DataFrame plans,
+dims broadcast explicitly, filters placed before joins so Catalyst pushes
+them into the scan, EXISTS/NOT-EXISTS spelled as left-semi/left-anti joins
+(what Catalyst decorrelates the SQL form into), scalar subqueries as a
+broadcast one-row cross join. Money sums use the repo's exact-cents
+pattern — floor(x*100 + 0.5) per row into BIGINT, summed as integers —
+because per-row doubles are bit-identical across engines while float SUM
+order is not, and Spark's round() (shortest-decimal HALF_UP) disagrees
+with DuckDB's (binary) exactly at .5 boundaries (see
+engine/relational_ext.py:sql_scalar_subquery's documented lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact per-row cents: floor(x*100 + 0.5) as BIGINT (pure value
+    function on the identical IEEE double both engines compute)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+_SQL_CENTS = "CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (supply relation = lineitem pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min({_SQL_CENTS.format(expr='l_extendedprice / l_quantity')}) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), costs AS (
+      SELECT ps.partkey, eu.s_name, eu.n_name, ps.cost_cents,
+             min(ps.cost_cents) OVER (PARTITION BY ps.partkey) AS min_cost
+      FROM ps JOIN eu ON ps.suppkey = eu.s_suppkey
+    )
+    SELECT c.partkey, p.p_name, c.s_name, c.n_name AS nation,
+           CAST(c.cost_cents AS DOUBLE) / 100 AS cost
+    FROM costs c JOIN part p ON p.p_partkey = c.partkey
+    WHERE c.cost_cents = c.min_cost AND p.p_size <= 10 AND p.p_type = 'SMALL'
+    """,
+)
+def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: for every small part, the EUROPE supplier(s)
+    offering the minimum supply cost. No partsupp table in the fixture,
+    so supply cost is the minimum unit price (l_extendedprice /
+    l_quantity — one deterministic per-row division, floored to cents)
+    this supplier ever charged for the part.
+
+    Q2's correlated scalar MIN subquery is expressed directly as a
+    window MIN over the part partition — the exact plan Catalyst's
+    decorrelation would produce, minus the redundant self-join (the
+    aggregate and the probe share one shuffle on partkey). The supplier
+    ⋈ nation ⋈ region dimension chain is broadcast; only the supply
+    relation (distinct pairs) shuffles. At 100 TB the pair aggregation
+    is the only large exchange and it is also the window's partitioning
+    — one shuffle total, AQE-coalesced."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(_cents(F.col("l_extendedprice") / F.col("l_quantity"))).alias("cost_cents"))
+    )
+    eu = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    w = Window.partitionBy("partkey")
+    costs = (
+        ps.join(F.broadcast(eu), ps.suppkey == eu.s_suppkey)
+        .withColumn("min_cost", F.min("cost_cents").over(w))
+        .where(F.col("cost_cents") == F.col("min_cost"))
+    )
+    p = t["part"].where((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+    return costs.join(F.broadcast(p), costs.partkey == p.p_partkey).select(
+        "partkey",
+        "p_name",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        (F.col("cost_cents").cast("double") / 100).alias("cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS → left-semi)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    """,
+)
+def agg_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: per-priority count of Q1-1996 orders where some
+    line item shipped more than 30 days after the order date (the
+    fixture has no commit/receipt dates, so ship-lag is the lateness
+    proxy).
+
+    The correlated EXISTS is a LEFT SEMI join whose condition carries
+    both the equi key and the correlated date comparison — Spark plans
+    the equi part as the shuffle key and evaluates the lag predicate as
+    a join residual, which is exactly what Catalyst decorrelates the SQL
+    spelling into. The quarter filter reaches the orders scan before the
+    join; the 6-row result needs no care beyond exact counts."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change (pure scan-side filter + exact sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_SQL_CENTS.format(expr='l_extendedprice * l_discount')})
+                AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would have been gained without small
+    discounts — a single full-scan conditional sum, zero joins.
+
+    All three predicates are scan-side (PushedFilters carries the date
+    bounds; discount/quantity are trivially codegen'd); the aggregate is
+    partial→final with a one-row result, so the only exchange is the
+    SinglePartition gather. The discount product is summed in exact
+    cents (see module docstring) — the one place Q6 can diverge across
+    engines is float SUM order, and integers remove it. At 100 TB this
+    query is scan-bandwidth-bound, which is the correct physics."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).cast(
+                    "double"
+                )
+                / 100
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (ratio of exact-cents conditional sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {_SQL_CENTS.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS cents,
+             s.s_nationkey
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+      JOIN region r    ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN part p      ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN s_nationkey = 5 THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(cents) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted: NATION_5's share of PROMO-part revenue sold to
+    ASIA customers, per order year.
+
+    Five of the six joins are broadcast dimension hops (customer is the
+    largest at ~150k/SF — broadcast explicitly here because at 100 TB a
+    a customer dim in the tens of GB moves to a shuffle join and the
+    plan degrades gracefully, while part/supplier/nation/region stay
+    broadcast forever). The market-share division happens on exact
+    integer cents — numerator and denominator are order-independent, so
+    the emitted double is bit-identical across engines without any
+    rounding escape hatch."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    p = t["part"].where(F.col("p_type") == "PROMO")
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+            "s_nationkey",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("s_nationkey") == 5, F.col("cents")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cents")
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit (retail-price cost proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum({_SQL_CENTS.format(
+               expr='l.l_extendedprice * (1 - l.l_discount)'
+               ' - p.p_retailprice * 0.1 * l.l_quantity')}) AS DOUBLE) / 100
+             AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: profit on widget parts by supplier nation and
+    order year. The fixture has no partsupp.ps_supplycost, so unit cost
+    is proxied as 10% of p_retailprice — the shape (fact ⋈ 4 dims,
+    arithmetic over three tables' columns, two-level groupBy) is what
+    matters, not the business constant.
+
+    part/supplier/nation broadcast; orders is the one shuffle join
+    (orderkey). Profit is summed in exact cents; floor(x*100+0.5) on a
+    possibly-negative margin rounds half-up in both engines because it
+    is a value function, not a decimal-string round."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].where(F.col("p_name").like("%widget%"))
+    li = t["lineitem"]
+    margin_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(margin_cents).cast("double") / 100).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (HAVING vs global scalar aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_important_stock",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey AS partkey,
+             sum({_SQL_CENTS.format(expr='l.l_extendedprice')}) AS value_cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey = 3
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(value_cents AS DOUBLE) / 100 AS value
+    FROM val
+    WHERE value_cents > (SELECT sum(value_cents) FROM val) * 0.002
+    """,
+)
+def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: parts whose traded value through NATION_3
+    suppliers exceeds 0.2% of that nation's total traded value — the
+    HAVING-against-a-global-scalar shape.
+
+    The per-part aggregate is computed ONCE and reused for both the
+    global total and the filter: the total collapses to a one-row
+    broadcast cross join (Catalyst's rewrite of the scalar subquery),
+    so the fact table is scanned and shuffled a single time. The
+    threshold compares exact integer cents against an integer-derived
+    double — order-independent on both sides. At 100 TB the val
+    aggregate is the only real exchange; the scalar side is O(parts)."""
+    t = load_tables(spark, sf_dir)
+    s3 = t["supplier"].where(F.col("s_nationkey") == 3).select("s_suppkey")
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(s3), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") > F.col("total_cents") * 0.002)
+        .select(
+            "partkey", (F.col("value_cents").cast("double") / 100).alias("value")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double groupBy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_customer_order_dist",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+    """,
+)
+def agg_customer_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of non-urgent order counts per customer —
+    the canonical histogram-of-a-groupBy. The filter lives in the JOIN
+    condition, not a WHERE (a WHERE would turn the outer join inner and
+    silently drop zero-order customers — the classic outer-join bug this
+    key exists to pin).
+
+    count(o_orderkey) over the null-extended rows yields 0 for
+    customers with no qualifying orders, identically in both engines.
+    First groupBy shuffles on custkey, the second on the tiny count
+    domain — the second exchange is a few hundred rows regardless of
+    scale."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        t["customer"]
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (scalar MAX subquery on exact cents)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum({_SQL_CENTS.format(expr='l_extendedprice * (1 - l_discount)')})
+               AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.rev_cents AS DOUBLE) / 100 AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+)
+def agg_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum Q1-1996 revenue. The view
+    + scalar MAX shape, kept tie-correct: equality on exact integer
+    cents means a genuine tie returns both suppliers in both engines —
+    a float revenue would make the tie an engine coin-flip, which is
+    why the cents pattern is load-bearing here rather than cosmetic.
+
+    The revenue aggregate is computed once; the MAX collapses to a
+    one-row broadcast (same rewrite as agg_important_stock). Supplier
+    is a broadcast dim. ~top-1-of-group via scalar max rather than a
+    global sort — O(suppliers) after one fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_cents"
+            )
+        )
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(t["supplier"]), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part attributes (NOT IN → anti join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_supplier_part_cnt",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: how many distinct acceptable suppliers can
+    provide parts of each (brand, type, size) bucket. The supply
+    relation is the distinct lineitem pair projection; "complaints"
+    suppliers (excluded via NOT IN) are proxied by negative account
+    balance.
+
+    The NOT IN is an explicit LEFT ANTI join against the (tiny,
+    broadcast) bad-supplier list — safe here because s_suppkey is
+    non-null, and the spelling Catalyst would reach after its own
+    null-aware rewrite. The distinct-pairs projection shuffles once on
+    (partkey, suppkey); count(DISTINCT suppkey) re-shuffles the
+    surviving sliver on the group key. Part is broadcast with all three
+    attribute filters pushed to its scan."""
+    t = load_tables(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG → aggregate + rejoin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_small_qty_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum({_SQL_CENTS.format(expr='l.l_extendedprice')})
+                AS DOUBLE) / 100 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa     ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_type = 'SMALL'
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if below-half-average-
+    quantity orders of one brand's small parts were not filled. The
+    correlated AVG subquery is decorrelated by hand into a per-part
+    aggregate joined back on partkey — one extra shuffle instead of a
+    per-row subquery.
+
+    Determinism note: avg(l_quantity) is sum/count of integer-valued
+    doubles — the sum is exact (integers ≤ 50·rowcount fit a double),
+    so the average and the 0.5× threshold are bit-identical across
+    engines; the comparison can never flip. The revenue side uses exact
+    cents. Filters on brand/type reach the part scan; at scale the
+    per-part AVG and the probe share the partkey partitioning."""
+    t = load_tables(spark, sf_dir)
+    pa = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .withColumnRenamed("l_partkey", "pa_partkey")
+    )
+    p = t["part"].where((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL"))
+    li = t["lineitem"]
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN → semi-join chain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_excess_supply",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'AFRICA')
+      AND s.s_suppkey IN (
+        SELECT sh.l_suppkey FROM shipped sh
+        JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_name LIKE 'small%' AND sh.qty > 50
+      )
+    """,
+)
+def join_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: AFRICA suppliers who moved more than 50 units
+    of some small part in 1996 — the nested-IN-subquery chain (supplier
+    IN (... part IN (...))) spelled as a left-semi join onto a
+    filtered aggregate.
+
+    The inner aggregate shuffles the date-pruned fact once on
+    (suppkey, partkey); the part-name filter is applied via broadcast
+    BEFORE the HAVING-style qty filter so non-small parts never reach
+    the threshold check... (they do reach the aggregate — at 100 TB you
+    would push the part semi-join below the groupBy; here the aggregate
+    is also reused unfiltered by nothing else, so Catalyst's choice
+    stands). The outer IN collapses to semi-joining the ~dozens of
+    surviving suppkeys, and the nation/region chain is broadcast."""
+    t = load_tables(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    small = t["part"].where(F.col("p_name").like("small%")).select("p_partkey")
+    good = (
+        shipped.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    africa = (
+        t["region"].where(F.col("r_name") == "AFRICA").select("r_regionkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(africa), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .join(good, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_waiting_orders",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late lt
+    JOIN supplier s ON s.s_suppkey = lt.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM pairs p2
+                  WHERE p2.l_orderkey = lt.l_orderkey
+                    AND p2.l_suppkey <> lt.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late lt3
+                      WHERE lt3.l_orderkey = lt.l_orderkey
+                        AND lt3.l_suppkey <> lt.l_suppkey)
+    GROUP BY 1
+    """,
+)
+def join_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order ("late" = shipped >60 days after the
+    order date; the fixture has no receipt/commit dates). The classic
+    EXISTS + NOT-EXISTS correlated self-join pair, decorrelated into a
+    left-semi (some OTHER supplier on the order) and a left-anti (no
+    OTHER late supplier) with inequality residuals.
+
+    The late relation is built once and reused on both sides of the
+    anti join; all three joins share the orderkey shuffle key, so AQE
+    plans them in one exchange lineage. Supplier is broadcast. The
+    distinct pair projections keep every joined relation O(order-supplier
+    pairs), never O(lineitems²)."""
+    t = load_tables(spark, sf_dir)
+    pairs = t["lineitem"].select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    p2 = pairs.select(
+        F.col("l_orderkey").alias("p2_ok"), F.col("l_suppkey").alias("p2_sk")
+    )
+    lt3 = late.select(
+        F.col("l_orderkey").alias("l3_ok"), F.col("l_suppkey").alias("l3_sk")
+    )
+    sole_late = (
+        late.join(
+            p2,
+            (F.col("l_orderkey") == F.col("p2_ok"))
+            & (F.col("l_suppkey") != F.col("p2_sk")),
+            "left_semi",
+        ).join(
+            lt3,
+            (F.col("l_orderkey") == F.col("l3_ok"))
+            & (F.col("l_suppkey") != F.col("l3_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar AVG + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global_sales_opp",
+    oracle=f"""
+    WITH act AS (
+      SELECT right(c_name, 1) AS cntrycode, c_custkey,
+             {_SQL_CENTS.format(expr='c_acctbal')} AS bal_cents
+      FROM customer
+      WHERE c_acctbal > 0 AND right(c_name, 1) IN ('1', '3', '5')
+    )
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS DOUBLE) / 100 AS totacctbal
+    FROM act a
+    WHERE bal_cents > (SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) FROM act)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = a.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def agg_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted: wealthy odd-code customers with no urgent
+    orders, by country code. Every customer in the fixture has orders,
+    so the anti condition is "no URGENT order" (keeps the NOT-EXISTS
+    anti join non-degenerate); the country code is the trailing digit
+    of c_name (the fixture has no phone column).
+
+    The scalar above-average threshold is the classic
+    aggregate-then-broadcast: the filtered customer projection is
+    computed once, its mean balance collapses to one broadcast row, and
+    the same projection is re-filtered against it (exact integer cents
+    → a bit-identical mean in both engines). The NOT EXISTS is a
+    left-anti join on custkey against priority-filtered orders with the
+    filter pushed to the orders scan."""
+    t = load_tables(spark, sf_dir)
+    act = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            F.expr("right(c_name, 1)").alias("cntrycode"),
+            "c_custkey",
+            _cents(F.col("c_acctbal")).alias("bal_cents"),
+        )
+        .where(F.col("cntrycode").isin("1", "3", "5"))
+    )
+    mean = act.agg(
+        (F.sum("bal_cents").cast("double") / F.count("*")).alias("mean_cents")
+    )
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        act.crossJoin(F.broadcast(mean))
+        .where(F.col("bal_cents") > F.col("mean_cents"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            (F.sum("bal_cents").cast("double") / 100).alias("totacctbal"),
+        )
+    )
