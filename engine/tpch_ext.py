@@ -472,6 +472,11 @@ def agg_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1996-04-01"))
+            # explicit: the probe side's join would infer this null filter
+            # below the aggregate on its branch only, making the two rev
+            # subtrees canonically unequal — with it on BOTH branches AQE
+            # reuses the shuffle (one fact scan, plan-asserted)
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(

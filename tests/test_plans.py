@@ -235,3 +235,67 @@ def test_near_dedup_has_no_pair_level_vector_join(spark, sf_dir):
     s = _plan(spark, "llm_near_dedup_embedding", sf_dir)
     assert "FlatMapGroupsInPandas" in s
     assert "SortMergeJoin" not in s
+
+
+def _executed(spark, name, sf_dir):
+    """Final AQE plan string (after execution) — needed for assertions on
+    runtime-only shapes like ReusedExchange."""
+    df = registry.QUERIES[name](spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_exists_is_semi_join_with_residual(spark, sf_dir):
+    """agg_order_priority_check: the correlated EXISTS (equi key + date
+    lag comparison) must decorrelate to ONE left-semi join, never a
+    per-row subquery or a cartesian."""
+    s = _plan(spark, "agg_order_priority_check", sf_dir)
+    assert "LeftSemi" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """agg_forecast_revenue is scan-bound by design: date bounds in
+    PushedFilters, and the scan reads only the 4 referenced columns."""
+    s = _plan(spark, "agg_forecast_revenue", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in s
+    read = s.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q15_scalar_max_reuses_rev_exchange(spark, sf_dir):
+    """agg_top_supplier computes the per-supplier revenue aggregate once:
+    the scalar-MAX branch must hit AQE's ReusedExchange, not rescan the
+    fact (the isNotNull alignment in the query exists for exactly this —
+    see the inline comment there)."""
+    s = _executed(spark, "agg_top_supplier", sf_dir)
+    assert "ReusedExchange" in s
+
+
+def test_q11_scalar_total_reuses_val_exchange(spark, sf_dir):
+    """agg_important_stock: same single-computation guarantee for the
+    HAVING-vs-global-total shape."""
+    s = _executed(spark, "agg_important_stock", sf_dir)
+    assert "ReusedExchange" in s
+
+
+def test_q21_sole_late_is_semi_plus_anti(spark, sf_dir):
+    """join_waiting_orders: EXISTS(other supplier) → LeftSemi,
+    NOT EXISTS(other late supplier) → LeftAnti, all on the orderkey
+    shuffle key; no nested-loop fallback."""
+    s = _plan(spark, "join_waiting_orders", sf_dir)
+    assert "LeftSemi" in s
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
+
+
+def test_q2_single_shuffle_for_agg_and_window(spark, sf_dir):
+    """join_min_cost_supplier: the pair aggregate and the per-part MIN
+    window must share one hashpartitioning — Q2's scalar subquery costs
+    one exchange, not two, and the dim chain is broadcast."""
+    import re
+
+    s = _plan(spark, "join_min_cost_supplier", sf_dir)
+    assert "BroadcastHashJoin" in s and "Window" in s
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", s)
+    assert len(set(e.split("#")[0] for e in exchanges)) <= 2, exchanges
