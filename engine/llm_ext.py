@@ -1,0 +1,276 @@
+"""Round-3 training-data-pipeline additions: iterative clustering,
+substring-level duplication flagging, and CCNet-style quality bucketing.
+
+The headline here is ``llm_kmeans_lloyd`` — a fully declarative iterative
+algorithm (Lloyd's k-means) where every iteration is DataFrame ops only
+(no driver-side model state, no collect) and the DuckDB oracle is the SAME
+fixed number of iterations UNROLLED into a CTE chain, so even an
+iterative algorithm gets the full hash-match correctness gate.
+
+Cross-engine float discipline (same as the sibling modules): centroids
+are snapped to a 1e-5 integer grid after every averaging step (float-sum
+order noise is ~1e-12, far below the grid), so both engines enter every
+iteration with bit-identical centroids; per-row scores are index-ordered
+dot-product folds (the llm_cosine_topk-proven pattern), so assignment
+comparisons see identical doubles on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Index-ordered fold — matches DuckDB's list_dot_product order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd SQL: init assignment by vec_id % k, then _ITERS
+    rounds of (quantized centroid update → nearest-centroid reassign)."""
+    parts = [
+        f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a0 AS (SELECT vec_id, CAST(vec_id % {_K} AS INTEGER) AS c FROM e)"""
+    ]
+    for i in range(1, _ITERS + 1):
+        prev = f"a{i - 1}"
+        parts.append(f"""
+    ex{i} AS (
+      SELECT a.c, g.i AS pos, e.v[g.i] AS val
+      FROM {prev} a JOIN e ON e.vec_id = a.vec_id,
+           (SELECT unnest(generate_series(1, {_DIM})) AS i) g
+    ),
+    cq{i} AS (
+      SELECT c, pos, CAST(round(avg(val) * 100000) AS BIGINT) AS q
+      FROM ex{i} GROUP BY c, pos
+    ),
+    cent{i} AS (
+      SELECT c, list(q / 100000.0 ORDER BY pos) AS cent FROM cq{i} GROUP BY c
+    ),
+    sc{i} AS (
+      SELECT e.vec_id, cent{i}.c,
+             list_dot_product(cent{i}.cent, cent{i}.cent)
+               - 2 * list_dot_product(e.v, cent{i}.cent) AS score
+      FROM e, cent{i}
+    ),
+    mn{i} AS (SELECT vec_id, min(score) AS mn FROM sc{i} GROUP BY vec_id),
+    a{i} AS (
+      SELECT s.vec_id, CAST(min(s.c) AS INTEGER) AS c
+      FROM sc{i} s JOIN mn{i} m ON s.vec_id = m.vec_id AND s.score = m.mn
+      GROUP BY s.vec_id
+    )""")
+    return (
+        "WITH " + ",".join(parts) + f"\n    SELECT vec_id, c AS cluster FROM a{_ITERS}"
+    )
+
+
+@query("llm_kmeans_lloyd", oracle=_kmeans_oracle())
+def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations) over the embedding column,
+    expressed as a fully declarative DataFrame loop — each iteration is
+    centroid-update (posexplode → (c, pos) avg → 1e-5 quantize →
+    ordered re-collect, the llm_centroids shape) followed by
+    nearest-centroid reassignment (8-row broadcast cross join, score =
+    |c|² − 2·v·c since |v|² is constant under argmin, min-score with
+    min-c tiebreak). No model state ever touches the driver; the "model"
+    is an 8-row DataFrame broadcast into the scoring join.
+
+    The oracle unrolls the identical 3 iterations as a DuckDB CTE chain
+    (_kmeans_oracle) — the hash gate covers the whole trajectory, not
+    just the final step, because any divergence at iteration i changes
+    the final assignment. Quantizing centroids each round is what makes
+    that possible: both engines re-enter every iteration with
+    bit-identical state, so cross-engine float-sum order noise cannot
+    compound.
+
+    At 100 TB: per iteration, one shuffle on (c, pos) for the update
+    (k×dim = 512 groups — map-side combined) and one n×k scoring pass
+    with the centroid side broadcast; the assignment argmin shuffles
+    (vec_id) n×k rows. On a real cluster, persist + truncate lineage
+    between iterations (localCheckpoint) — at fixture scale Catalyst
+    handles the 3-deep plan directly."""
+    e = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _dbl("embedding").alias("v")
+    )
+    assign = e.select("vec_id", (F.col("vec_id") % _K).cast("int").alias("c"))
+    for _ in range(_ITERS):
+        cq = (
+            assign.join(e, "vec_id")
+            .select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.round(F.avg("val") * 100000).cast("long").alias("q"))
+        )
+        cent = cq.groupBy("c").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                lambda s: s["q"].cast("double") / 100000.0,
+            ).alias("cent")
+        )
+        scored = e.crossJoin(
+            F.broadcast(cent.select(F.col("c").alias("cc"), "cent"))
+        ).select(
+            "vec_id",
+            F.col("cc").alias("c"),
+            (_dot(F.col("cent"), F.col("cent")) - 2 * _dot(F.col("v"), F.col("cent"))).alias(
+                "score"
+            ),
+        )
+        w = Window.partitionBy("vec_id")
+        assign = (
+            scored.withColumn("mn", F.min("score").over(w))
+            .where(F.col("score") == F.col("mn"))
+            .groupBy("vec_id")
+            .agg(F.min("c").cast("int").alias("c"))
+        )
+    return assign.select("vec_id", F.col("c").alias("cluster"))
+
+
+@query(
+    "llm_substring_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE text <> ''
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(ws, i.i, i.i + 7), ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS i) i
+      WHERE len(ws) >= 8
+    ), df AS (
+      SELECT gram, count(DISTINCT doc_id) AS docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE df.docs > 1) AS BIGINT) AS n_dup_grams,
+           CAST(count(*) FILTER (WHERE df.docs > 1) AS DOUBLE) / count(*)
+             AS dup_fraction
+    FROM g JOIN df ON g.gram = df.gram
+    GROUP BY g.doc_id
+    """,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication flagging (the Lee et al. 2107.06499
+    "Deduplicating Training Data" shape, at word-8-gram granularity):
+    for every document, the fraction of its 8-word windows that also
+    appear verbatim in some OTHER document. Downstream, spans with
+    dup_fraction ≈ 1 are boilerplate to cut; a corpus-wide suffix array
+    is overkill when shingle df already localizes the duplicated spans.
+
+    Windows are built ARRAY-SIDE (transform over an index sequence +
+    slice — no self-join, no explode-then-window), then exploded once
+    for the df count and the per-doc verdict join. Both shuffles key on
+    the gram string; at 100 TB you would key on xxhash64(gram) instead
+    (the oracle keeps raw strings because DuckDB has no xxhash64 —
+    same counts either way, modulo negligible collisions). The
+    dup_fraction is a ratio of identical integers — bit-identical
+    doubles, no rounding escape hatch."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = d.where(F.col("text") != "").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    g = w.where(F.size("ws") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 7),
+                lambda i: F.array_join(F.slice("ws", i, 8), " "),
+            )
+        ).alias("gram"),
+    )
+    df = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("docs"))
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("docs") > 1, 1)).cast("bigint").alias("n_dup_grams"),
+            (
+                F.count(F.when(F.col("docs") > 1, 1)).cast("double") / F.count("*")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "llm_ccnet_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text <> ''
+    ), tf AS (
+      SELECT term, count(*) AS n FROM tok GROUP BY term
+    ), tot AS (
+      SELECT sum(n) AS total FROM tf
+    ), scored AS (
+      SELECT t.doc_id, -ln(f.n / (SELECT total FROM tot)) AS surprisal
+      FROM tok t JOIN tf f ON t.term = f.term
+    ), per_doc AS (
+      SELECT s.doc_id, round(avg(s.surprisal), 6) AS avg_surprisal
+      FROM scored s GROUP BY s.doc_id
+    ), ranked AS (
+      SELECT p.doc_id, d.lang, p.avg_surprisal,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY p.avg_surprisal, p.doc_id) AS t
+      FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT doc_id, lang, avg_surprisal,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM ranked
+    """,
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style (1911.00359) quality bucketing: within each language,
+    split documents into head / middle / tail terciles of unigram-LM
+    surprisal (the perplexity proxy — llm_unigram_surprisal is the
+    scoring half of this op; this key adds the per-language ntile
+    policy that CCNet uses to choose which slice to train on).
+
+    Determinism: the ntile orders by the ROUNDED 6-dp surprisal with
+    doc_id tiebreak, so rank boundaries can never sit on cross-engine
+    float noise. The ntile window shuffles one row per document
+    (score + keys, not tokens) partitioned by language; skew between
+    languages is bounded by corpus language mix."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.where(F.col("text") != "").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    per_doc = (
+        tok.join(F.broadcast(tf), "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 6).alias("avg_surprisal"))
+    )
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_surprisal",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

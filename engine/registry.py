@@ -44,6 +44,7 @@ def load_all() -> None:
         cdc,
         functions,
         io,
+        llm_ext,
         llm_ops,
         relational,
         relational_ext,
