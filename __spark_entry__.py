@@ -53,6 +53,29 @@ _PROMOTED_STREAMING = [
     "stream_sliding_avg",
 ]
 
+# Keys added in round 3 (TPC-H completion + llm_ext): genuinely
+# never-checked, but they queue BEHIND the round-1/2 keys that have
+# already waited two rounds for driver signal (VERDICT r02 item 1 set
+# the burn-down priority before these existed).
+_NEW_R03 = [
+    "join_min_cost_supplier",
+    "agg_order_priority_check",
+    "agg_forecast_revenue",
+    "agg_market_share",
+    "agg_product_profit",
+    "agg_important_stock",
+    "agg_customer_order_dist",
+    "agg_top_supplier",
+    "agg_supplier_part_cnt",
+    "agg_small_qty_revenue",
+    "join_excess_supply",
+    "join_waiting_orders",
+    "agg_global_sales_opp",
+    "llm_kmeans_lloyd",
+    "llm_substring_dedup",
+    "llm_ccnet_buckets",
+]
+
 # The similarity family has the most novel code and zero driver rows
 # (VERDICT r02 item 7) — sampled as a block right after the above.
 _SIMILARITY = [
@@ -127,7 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if r == 1 and has_oracle:
             return (3, 0, name)  # ran rows-only before, hash-checkable now
         if r == 0:
-            return (4, 1 if name in streaming else 0, name)
+            # within never-checked: non-streaming r1/r2 keys first (two
+            # rounds waiting), then r03 additions, then streaming (slow)
+            sub = 2 if name in streaming else (1 if name in _NEW_R03 else 0)
+            return (4, sub, name)
         # rank 2 (passed) and rank-1-without-oracle: least marginal value
         return (5, r, name)
 

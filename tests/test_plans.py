@@ -279,14 +279,17 @@ def test_q11_scalar_total_reuses_val_exchange(spark, sf_dir):
     assert "ReusedExchange" in s
 
 
-def test_q21_sole_late_is_semi_plus_anti(spark, sf_dir):
-    """join_waiting_orders: EXISTS(other supplier) → LeftSemi,
-    NOT EXISTS(other late supplier) → LeftAnti, all on the orderkey
-    shuffle key; no nested-loop fallback."""
+def test_q21_sole_late_is_aggregate_form(spark, sf_dir):
+    """join_waiting_orders runs the one-pass aggregate form, not the
+    semi/anti chain (4 extra orderkey exchanges, 3.6 → 1.3 s at sf0.1 —
+    see the docstring): ≤3 hashpartitioning exchanges, no nested loop.
+    The EXISTS spelling stays pinned on sql_exists_decorrelated."""
+    import re
+
     s = _plan(spark, "join_waiting_orders", sf_dir)
-    assert "LeftSemi" in s
-    assert "LeftAnti" in s
-    assert "CartesianProduct" not in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", s)
+    assert len(exchanges) <= 3, exchanges
 
 
 def test_q2_single_shuffle_for_agg_and_window(spark, sf_dir):
