@@ -74,6 +74,9 @@ _NEW_R03 = [
     "llm_kmeans_lloyd",
     "llm_substring_dedup",
     "llm_ccnet_buckets",
+    "llm_domain_mix_sampler",
+    "events_attribution",
+    "sink_compaction",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -536,3 +536,54 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(32 AS BIGINT) AS n_files_small,
+           CAST(2 AS BIGINT) AS n_files_compacted
+    FROM documents
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance op every long-lived
+    100 TB lake needs: streaming/CDC sinks accrete thousands of tiny
+    files per partition (each a task + an open + a footer parse at read
+    time), and compaction rewrites them into few large files without
+    changing a row. Here: documents is deliberately fragmented into 32
+    files (round-robin repartition — every micro-batch-sized shard
+    non-empty), then compacted with a width chosen by target file size
+    (repartition(2) for this fixture; on a real lake, bytes/512 MB).
+
+    The result row is the compaction CONTRACT, hash-checked: row count
+    read back from the compacted layout must equal the source exactly
+    (the oracle recomputes it from the source table — any row lost or
+    duplicated by the rewrite breaks the hash) and both file counts are
+    exact literals (round-robin repartition guarantees 32 non-empty
+    shards; the compactor writes exactly its partition count). Eager
+    writes at call time, like the other sink keys."""
+    import glob
+    import tempfile
+
+    d = load_tables(spark, sf_dir)["documents"]
+    with tempfile.TemporaryDirectory(prefix="engine_compact_") as base:
+        small = os.path.join(base, "small")
+        compact = os.path.join(base, "compact")
+        d.repartition(32).write.mode("overwrite").parquet(small)
+        n_small = len(glob.glob(os.path.join(small, "*.parquet")))
+        spark.read.parquet(small).repartition(2).write.mode("overwrite").parquet(
+            compact
+        )
+        n_compact = len(glob.glob(os.path.join(compact, "*.parquet")))
+        return (
+            spark.read.parquet(compact)
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .select(
+                "n_rows",
+                F.lit(n_small).cast("bigint").alias("n_files_small"),
+                F.lit(n_compact).cast("bigint").alias("n_files_compacted"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -274,3 +274,67 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+@query(
+    "llm_domain_mix_sampler",
+    oracle="""
+    WITH n AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS nl FROM documents GROUP BY lang
+    ), t AS (
+      SELECT sum(nl) AS nn, sum(pow(nl, 0.7)) AS s FROM n
+    ), r AS (
+      SELECT n.lang,
+             CAST(floor(least(1.0, (pow(n.nl, 0.7) / t.s) * (t.nn / 2) / n.nl)
+                        * 1000000 + 0.5) AS BIGINT) AS rate_ppm
+      FROM n, t
+    )
+    SELECT d.doc_id, d.lang, r.rate_ppm
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+    """,
+)
+def llm_domain_mix_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (the Pile/Gopher/LLaMA sampling
+    policy, τ=0.7): re-weight each domain's share to p^τ (normalized),
+    flattening the head and boosting the tail, and deterministically
+    hash-sample each domain at the rate that hits a half-corpus target
+    under the re-weighted mix. q_d = n_d^0.7 / Σ n^0.7 (the 1/N^0.7
+    cancels), keep_rate_d = min(1, q_d · (N/2) / n_d).
+
+    Cross-engine float discipline: rates go through floor(x·1e6 + 0.5)
+    into integer parts-per-million BEFORE the membership comparison —
+    pow() is not guaranteed identically rounded across libms, and the
+    ppm grid absorbs any last-ulp disagreement; membership itself is the
+    multiplicative-hash mod used by llm_stratified_sample (stable across
+    engines, reruns, and partitionings — never rand()). At 100 TB: the
+    domain stats are a tiny aggregate, rates broadcast back, and the
+    filter is a scan-side projection — no shuffle touches the corpus."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n = d.groupBy("lang").agg(F.count("*").cast("double").alias("nl"))
+    t = n.agg(
+        F.sum("nl").alias("nn"), F.sum(F.pow("nl", F.lit(0.7))).alias("s")
+    )
+    r = n.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.pow("nl", F.lit(0.7)) / F.col("s"))
+                * (F.col("nn") / 2)
+                / F.col("nl"),
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .where(
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000000))
+            < F.col("rate_ppm")
+        )
+        .select("doc_id", "lang", "rate_ppm")
+    )

@@ -537,3 +537,77 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_topk_per_group is the DataFrame spelling of the same shape."""
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END AS tag,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN struct_pack(m_ts := ts, m_id := event_id,
+                                   m_type := event_type) END AS mk
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ), filled AS (
+      SELECT user_id, ts, event_id, tag,
+             last_value(mk IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN attr.m_ts >= ts - INTERVAL 7 DAY THEN attr.m_id END
+             AS attributed_id,
+           CASE WHEN attr.m_ts >= ts - INTERVAL 7 DAY THEN attr.m_type END
+             AS attributed_type
+    FROM filled WHERE tag = 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view within a 7-day lookback — the product-
+    analytics sibling of join_asof, implemented WITHOUT a join: marketing
+    and purchase events are tagged into one stream and a per-user
+    fill-forward window (last non-null marketing struct, rows unbounded
+    preceding → current) carries the latest touch onto every purchase
+    row. One shuffle on user_id instead of an asof join's
+    range-bucketized join + dedup; the timeline order (ts, tag,
+    event_id) is total, so same-timestamp ties resolve identically in
+    both engines (marketing sorts before purchase at equal ts — a touch
+    at the purchase instant is attributable). The 7-day lookback is
+    applied AFTER the fill (NULL if the last touch is stale), keeping
+    the window frame unconditional and cheap. At 100 TB this is the
+    sessionize shape: one exchange, per-user streams, no skew beyond the
+    busiest user."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    is_mkt = F.col("event_type").isin("click", "view")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_mkt, 0).otherwise(1).alias("tag"),
+        F.when(
+            is_mkt,
+            F.struct(
+                F.col("ts").alias("m_ts"),
+                F.col("event_id").alias("m_id"),
+                F.col("event_type").alias("m_type"),
+            ),
+        ).alias("mk"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("attr", F.last("mk", ignorenulls=True).over(w))
+    fresh = F.col("attr.m_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    return filled.where(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("attr.m_id")).alias("attributed_id"),
+        F.when(fresh, F.col("attr.m_type")).alias("attributed_type"),
+    )
