@@ -77,6 +77,9 @@ _NEW_R03 = [
     "llm_domain_mix_sampler",
     "events_attribution",
     "sink_compaction",
+    "join_null_safe",
+    "scan_schema_merge",
+    "udf_arrow_optimized",
 ]
 
 # The similarity family has the most novel code and zero driver rows

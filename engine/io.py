@@ -587,3 +587,61 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@query(
+    "scan_schema_merge",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS file_ver,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(lang) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_lang,
+           CAST(sum(n_chars) FILTER (WHERE doc_id % 2 = 1) AS BIGINT)
+             AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-merging parquet scan: two file generations with DIFFERENT
+    schemas (v1 wrote only (doc_id, text); v2 added lang + n_chars) read
+    as ONE relation via mergeSchema — the scan-level half of schema
+    evolution (cdc_schema_evolution is the merge-level half). v1 rows
+    surface the added columns as NULLs; the aggregate proves both that
+    no row was lost per generation and that null-extension happened
+    exactly where it should (n_lang counts lang only among v2 rows —
+    any bleed drops or inflates it vs the oracle's recomputation from
+    the source table).
+
+    At 100 TB, mergeSchema reads every file footer — so production
+    tables pin the merged schema in a catalog instead; the READ semantics
+    (old files null-extend) are identical, which is what this key pins."""
+    import tempfile
+
+    d = load_tables(spark, sf_dir)["documents"]
+    with tempfile.TemporaryDirectory(prefix="engine_schmerge_") as base:
+        v1 = os.path.join(base, "gen=1")
+        v2 = os.path.join(base, "gen=2")
+        d.where(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(v1)
+        d.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(v2)
+        back = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+        return (
+            back.groupBy(
+                F.when(F.col("doc_id") % 2 == 0, "v1").otherwise("v2").alias(
+                    "file_ver"
+                )
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.count(
+                    F.when(F.col("doc_id") % 2 == 1, F.col("lang"))
+                ).cast("bigint").alias("n_lang"),
+                F.sum(
+                    F.when(F.col("doc_id") % 2 == 1, F.col("n_chars"))
+                ).cast("bigint").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -611,3 +611,45 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("attr.m_id")).alias("attributed_id"),
         F.when(fresh, F.col("attr.m_type")).alias("attributed_type"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+             CAST(count(*) AS BIGINT) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+    )
+    SELECT a.prio, a.n_all, b.n_open
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    group key must MATCH itself across the two aggregates — a plain
+    equi-join silently drops it (NULL = NULL is NULL), the single most
+    common bug when joining on derived nullable keys (nullif/sentinel
+    rewrites, optional dimensions).
+
+    Spark plans eqNullSafe as a hash join on a null-coalesced key (no
+    nested-loop penalty). Scale note: <=> makes ALL nulls one join key —
+    if nulls are a large fraction, that key is a skew cell (here both
+    sides aggregate to ≤5 rows first, which is also the general
+    mitigation: collapse before the null-safe join)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    a = o.groupBy(prio.alias("prio")).agg(F.count("*").cast("bigint").alias("n_all"))
+    b = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy(prio.alias("b_prio"))
+        .agg(F.count("*").cast("bigint").alias("n_open"))
+    )
+    return a.join(b, a["prio"].eqNullSafe(b["b_prio"])).select(
+        "prio", "n_all", "n_open"
+    )

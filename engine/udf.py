@@ -500,3 +500,30 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, ts timestamp_ntz, last_click_ts timestamp_ntz",
         )
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) || ':' || CAST(len(p_name) AS VARCHAR) AS tag
+    FROM part
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): same
+    row-wise Python semantics as udf_python_scalar but transported in
+    Arrow batches instead of pickled rows — the migration path for
+    legacy row UDFs that cannot be vectorized (10-100× less
+    serialization overhead, no logic change). The oracle mirrors the
+    logic in SQL, proving the Arrow transport changes nothing about
+    values; the pickled twin (udf_python_scalar) and the fully
+    vectorized pandas form (udf_pandas_scalar) bracket it on the
+    §2.11 UDF-surface spectrum."""
+
+    def tag(brand: str, name: str) -> str:
+        return f"{brand.upper()}:{len(name)}"
+
+    tag_udf = F.udf(tag, T.StringType(), useArrow=True)
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select("p_partkey", tag_udf("p_brand", "p_name").alias("tag"))
