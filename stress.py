@@ -192,6 +192,73 @@ def main() -> None:
 
     run("embedding_dedup_10x_16bit", embedding_dedup)
 
+    # r03: Q21 one-pass aggregate form at 10× (the 3-exchange reformulation;
+    # see engine/tpch_ext.py:join_waiting_orders) — the shape whose semi/anti
+    # predecessor was exchange-bound.
+    def waiting_orders():
+        ps = (
+            li.join(
+                orders.where(F.col("o_orderstatus") == "F").select(
+                    "o_orderkey", "o_orderdate"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(
+                F.max(
+                    (
+                        F.col("l_shipdate")
+                        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+                    ).cast("int")
+                ).alias("is_late")
+            )
+        )
+        per_order = ps.groupBy(F.col("l_orderkey").alias("po_ok")).agg(
+            F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+        )
+        return (
+            ps.join(per_order, F.col("l_orderkey") == F.col("po_ok"))
+            .where(
+                (F.col("is_late") == 1)
+                & (F.col("n_supp") > 1)
+                & (F.col("n_late") == 1)
+            )
+            .groupBy("l_suppkey")
+            .agg(F.count("*").alias("numwait"))
+        )
+
+    run("waiting_orders_10x", waiting_orders)
+
+    # r03: substring-level dedup at 10× — the gram-df join is the scaling
+    # risk (gram cardinality ~ corpus tokens); replicated docs are exact
+    # duplicates so every gram's df jumps 10×, the worst case for the join.
+    def substring_dedup():
+        w = docs.where(F.col("text") != "").select(
+            "doc_id", F.split("text", " ").alias("ws")
+        )
+        g = w.where(F.size("ws") >= 8).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 7),
+                    lambda i: F.array_join(F.slice("ws", i, 8), " "),
+                )
+            ).alias("gram"),
+        )
+        dfreq = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("docs"))
+        return (
+            g.join(dfreq, "gram")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.count(F.when(F.col("docs") > 1, 1)).alias("n_dup"),
+            )
+            .groupBy()
+            .count()
+        )
+
+    run("substring_dedup_10x", substring_dedup)
+
     print(json.dumps({"metric": "stress_10x", "unit": "sec", "copies": COPIES, "queries": results}))
 
 
