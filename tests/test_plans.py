@@ -288,8 +288,10 @@ def test_q21_sole_late_is_aggregate_form(spark, sf_dir):
 
     s = _plan(spark, "join_waiting_orders", sf_dir)
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
-    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", s)
-    assert len(exchanges) <= 3, exchanges
+    keys = set(re.findall(r"hashpartitioning\(([^,#]+)", s))
+    # every shuffle is either the orderkey family (shared by the pair agg,
+    # the per-order agg, and their join) or the tiny terminal s_name agg
+    assert keys <= {"l_orderkey", "s_name"}, keys
 
 
 def test_q2_single_shuffle_for_agg_and_window(spark, sf_dir):
@@ -300,5 +302,35 @@ def test_q2_single_shuffle_for_agg_and_window(spark, sf_dir):
 
     s = _plan(spark, "join_min_cost_supplier", sf_dir)
     assert "BroadcastHashJoin" in s and "Window" in s
-    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", s)
-    assert len(set(e.split("#")[0] for e in exchanges)) <= 2, exchanges
+    exchanges = re.findall(r"hashpartitioning\(([^,#]+)", s)
+    assert exchanges, "expected at least one exchange in the plan"
+    assert len(set(exchanges)) <= 2, exchanges
+
+
+def test_attribution_single_user_exchange(spark, sf_dir):
+    """events_attribution must be the sessionize shape: one
+    hashpartitioning exchange (user_id) feeding the fill-forward window —
+    no join operator anywhere in the plan."""
+    import re
+
+    s = _plan(spark, "events_attribution", sf_dir)
+    assert "Join" not in s, "attribution must not plan a join"
+    exchanges = re.findall(r"hashpartitioning\(([^,#]+)", s)
+    assert exchanges == ["user_id"], exchanges
+
+
+def test_domain_mix_filter_is_broadcast_side(spark, sf_dir):
+    """llm_domain_mix_sampler: the per-domain rates enter as a broadcast
+    join; the corpus side is never shuffled (no hashpartitioning on any
+    documents column)."""
+    s = _plan(spark, "llm_domain_mix_sampler", sf_dir)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """join_null_safe: <=> must plan as a hash join on the coalesced key,
+    never a nested-loop fallback."""
+    s = _plan(spark, "join_null_safe", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
