@@ -80,6 +80,7 @@ _NEW_R03 = [
     "join_null_safe",
     "scan_schema_merge",
     "udf_arrow_optimized",
+    "scan_time_travel_log",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -46,6 +46,10 @@ EXTRA = [
     "llm_dedup_clusters",
     "llm_pii_scrub",
     "cdc_multi_source",
+    # r03 heavy additions, timed for the record (excluded from headline)
+    "llm_kmeans_lloyd",
+    "llm_substring_dedup",
+    "join_waiting_orders",
 ]
 
 

@@ -645,3 +645,89 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@query(
+    "scan_time_travel_log",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ), v3 AS (
+      SELECT * FROM v2 WHERE o_orderkey % 10 <> 0
+    )
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS checksum_cents
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM v3
+    """,
+)
+def scan_time_travel_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poor-man's lakehouse time travel: a base snapshot plus an ordered
+    delta log (upsert file, then tombstone file) persisted as parquet,
+    with any historical version reconstructed by LOG REPLAY — version v =
+    base, minus keys superseded by deltas ≤ v (left-anti on the key),
+    union the surviving upserts, minus tombstones ≤ v. This is the read
+    path Delta/Iceberg implement with manifests; the reconstruction
+    algebra (anti-join supersession + union, exactly the CDC apply
+    shape — engine/cdc.py:cdc_apply_changes) is what this key pins.
+
+    All three versions' (row count, exact-cents checksum) are
+    reconstructed FROM THE WRITTEN LOG FILES and hash-checked against the
+    oracle's direct derivation from the source table — a lost tombstone,
+    double-applied upsert, or stale base row shifts a checksum. At
+    100 TB: replay cost is O(base + deltas ≤ v) with the anti joins on
+    the key only, and periodic compaction (sink_compaction) re-bases the
+    log; version state is partitioned parquet, so the reconstruction
+    plans prune like any other scan."""
+    import tempfile
+
+    o = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    with tempfile.TemporaryDirectory(prefix="engine_ttlog_") as base_dir:
+        p_base = os.path.join(base_dir, "base")
+        p_d1 = os.path.join(base_dir, "delta1_upserts")
+        p_d2 = os.path.join(base_dir, "delta2_tombstones")
+        o.write.mode("overwrite").parquet(p_base)
+        # delta 1: price bump for every 7th key (upsert rows)
+        o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        ).write.mode("overwrite").parquet(p_d1)
+        # delta 2: tombstones for every 10th key
+        o.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(p_d2)
+
+        base = spark.read.parquet(p_base)
+        d1 = spark.read.parquet(p_d1)
+        d2 = spark.read.parquet(p_d2).select(F.col("o_orderkey").alias("t_key"))
+
+        def state(version: int):
+            s = base
+            if version >= 2:
+                s = s.join(
+                    d1.select(F.col("o_orderkey").alias("u_key")),
+                    F.col("o_orderkey") == F.col("u_key"),
+                    "left_anti",
+                ).unionByName(d1)
+            if version >= 3:
+                s = s.join(d2, F.col("o_orderkey") == F.col("t_key"), "left_anti")
+            return s.agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                .cast("bigint")
+                .alias("checksum_cents"),
+            ).select(F.lit(version).alias("version"), "n", "checksum_cents")
+
+        out = state(1).unionByName(state(2)).unionByName(state(3))
+        return out.localCheckpoint(eager=True)
