@@ -631,30 +631,28 @@ def join_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN (... part IN (...))) spelled as a left-semi join onto a
     filtered aggregate.
 
-    The inner aggregate shuffles the date-pruned fact once on
-    (suppkey, partkey); the part-name filter is applied via broadcast
-    BEFORE the HAVING-style qty filter so non-small parts never reach
-    the threshold check... (they do reach the aggregate — at 100 TB you
-    would push the part semi-join below the groupBy; here the aggregate
-    is also reused unfiltered by nothing else, so Catalyst's choice
-    stands). The outer IN collapses to semi-joining the ~dozens of
-    surviving suppkeys, and the nation/region chain is broadcast."""
+    The part semi-join is pushed BELOW the aggregate: only small-part
+    line items enter the (suppkey, partkey) shuffle, cutting the
+    aggregate's input by the part-name selectivity (~1/6 here, the same
+    factor at any scale) — groupBy(sum) distributes over a key-preserving
+    semi-join, so the result is identical and Catalyst cannot legally do
+    this rewrite itself (it doesn't know the filter is key-preserving
+    w.r.t. the group). The outer IN collapses to semi-joining the
+    ~dozens of surviving suppkeys, and the nation/region chain is
+    broadcast."""
     t = load_tables(spark, sf_dir)
+    small = t["part"].where(F.col("p_name").like("small%")).select("p_partkey")
     shipped = (
         t["lineitem"]
         .where(
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1997-01-01"))
         )
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    small = t["part"].where(F.col("p_name").like("small%")).select("p_partkey")
-    good = (
-        shipped.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
-        .where(F.col("qty") > 50)
-        .select("l_suppkey")
-    )
+    good = shipped.where(F.col("qty") > 50).select("l_suppkey")
     africa = (
         t["region"].where(F.col("r_name") == "AFRICA").select("r_regionkey")
     )
