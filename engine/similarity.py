@@ -573,17 +573,17 @@ _BUCKET_CAP = 512
 
 def _banded_melt(e: DataFrame) -> DataFrame:
     """(vec_id, band, bv): every vector's band ids in one vectorized pass,
-    posexploded to the long form the candidate self-join consumes, with
-    over-full buckets dropped (see _BUCKET_CAP)."""
+    posexploded to the long form the per-bucket verifier consumes.
+
+    The _BUCKET_CAP guard is NOT applied here (r03): it used to be a
+    groupBy-count + broadcast-join pre-filter, which shuffled every melt
+    row once to count it and once again into the verification groups.
+    The verifier groups by (band, bv) anyway, so the cap check moved
+    inside the applyInPandas block (_banded_tau_pairs drops over-full
+    groups on arrival) — identical candidate set, one exchange instead
+    of two on the melt."""
     ids = e.select("vec_id", _band_ids_udf()("embedding").alias("bands"))
-    m = ids.select("vec_id", F.posexplode("bands").alias("band", "bv"))
-    ok = (
-        m.groupBy("band", "bv")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") <= _BUCKET_CAP)
-        .select("band", "bv")
-    )
-    return m.join(F.broadcast(ok), ["band", "bv"]).select("vec_id", "band", "bv")
+    return ids.select("vec_id", F.posexplode("bands").alias("band", "bv"))
 
 
 @query(
@@ -694,7 +694,9 @@ def _banded_tau_pairs(e: DataFrame) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        if len(ids) < 2:
+        # _BUCKET_CAP skew guard, applied on group arrival (see
+        # _banded_melt): an over-full bucket is all false candidates
+        if len(ids) > _BUCKET_CAP or len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
