@@ -175,12 +175,14 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Windows are built ARRAY-SIDE (transform over an index sequence +
     slice — no self-join, no explode-then-window), then exploded once
-    for the df count and the per-doc verdict join. Both shuffles key on
-    the gram string; at 100 TB you would key on xxhash64(gram) instead
-    (the oracle keeps raw strings because DuckDB has no xxhash64 —
-    same counts either way, modulo negligible collisions). The
-    dup_fraction is a ratio of identical integers — bit-identical
-    doubles, no rounding escape hatch."""
+    for the df count and the per-doc verdict join. Spark shuffles on
+    xxhash64(gram) — 8-byte keys instead of ~50-char strings, the
+    production keying at 100 TB (the oracle keeps raw strings because
+    DuckDB has no xxhash64; a 64-bit collision among ~10⁶ grams is
+    ~1e-10 probable and would surface as a hash mismatch, so the gate
+    itself audits the collision assumption). The dup_fraction is a
+    ratio of identical integers — bit-identical doubles, no rounding
+    escape hatch."""
     d = load_tables(spark, sf_dir)["documents"]
     w = d.where(F.col("text") != "").select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -190,7 +192,7 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ws") - 7),
-                lambda i: F.array_join(F.slice("ws", i, 8), " "),
+                lambda i: F.xxhash64(F.array_join(F.slice("ws", i, 8), " ")),
             )
         ).alias("gram"),
     )
