@@ -132,12 +132,15 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
-        w = Window.partitionBy("vec_id")
+        # argmin with min-c tiebreak as ONE aggregate: lexicographic min
+        # of (score, c) — identical semantics to the oracle's
+        # min-score-then-min-c two-step (doubles are engine-identical),
+        # but a single partial-aggregated exchange instead of a window
+        # sort + filter + re-aggregate
         assign = (
-            scored.withColumn("mn", F.min("score").over(w))
-            .where(F.col("score") == F.col("mn"))
-            .groupBy("vec_id")
-            .agg(F.min("c").cast("int").alias("c"))
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("score", "c")).alias("best"))
+            .select("vec_id", F.col("best.c").cast("int").alias("c"))
         )
     return assign.select("vec_id", F.col("c").alias("cluster"))
 
