@@ -81,6 +81,7 @@ _NEW_R03 = [
     "scan_schema_merge",
     "udf_arrow_optimized",
     "scan_time_travel_log",
+    "win_sliding_median",
 ]
 
 # The similarity family has the most novel code and zero driver rows

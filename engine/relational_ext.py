@@ -653,3 +653,41 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["prio"].eqNullSafe(b["b_prio"])).select(
         "prio", "n_all", "n_open"
     )
+
+
+@query(
+    "win_sliding_median",
+    oracle="""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding median (5-event window per user) — a NON-algebraic window
+    aggregate: unlike sum/avg, the median cannot be maintained
+    incrementally from partials, so the engine materializes each frame
+    (Spark's percentile() as a window function; DuckDB's quantile_cont —
+    both define the same linear interpolation over the sorted frame, and
+    both interpolate from identical doubles, so values hash unrounded).
+    The (ts, event_id) ordering is total — frames are engine-identical.
+
+    At 100 TB: one user_id exchange; frame materialization is O(frame)
+    per row, fine at frame=5 — for large frames the right tool is the
+    two-heap / order-statistic sketch inside applyInPandasWithState,
+    which is why this key pins the SMALL-frame declarative form."""
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("med5"),
+    )

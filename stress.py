@@ -241,7 +241,7 @@ def main() -> None:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("ws") - 7),
-                    lambda i: F.array_join(F.slice("ws", i, 8), " "),
+                    lambda i: F.xxhash64(F.array_join(F.slice("ws", i, 8), " ")),
                 )
             ).alias("gram"),
         )
