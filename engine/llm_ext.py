@@ -41,15 +41,18 @@ def _dot(a, b):
     )
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd SQL: init assignment by vec_id % k, then _ITERS
-    rounds of (quantized centroid update → nearest-centroid reassign)."""
+def kmeans_cte_parts(k: int, iters: int) -> list[str]:
+    """Unrolled Lloyd CTE chain (shared by llm_kmeans_lloyd's oracle and
+    llm_ann_ivf's learned coarse quantizer): init assignment by
+    vec_id % k, then `iters` rounds of (quantized centroid update →
+    nearest-centroid reassign). Exposes `e(vec_id, v)`,
+    `cent{iters}(c, cent)` and `a{iters}(vec_id, c)` to the caller."""
     parts = [
         f"""
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    a0 AS (SELECT vec_id, CAST(vec_id % {_K} AS INTEGER) AS c FROM e)"""
+    a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS c FROM e)"""
     ]
-    for i in range(1, _ITERS + 1):
+    for i in range(1, iters + 1):
         prev = f"a{i - 1}"
         parts.append(f"""
     ex{i} AS (
@@ -76,9 +79,53 @@ def _kmeans_oracle() -> str:
       FROM sc{i} s JOIN mn{i} m ON s.vec_id = m.vec_id AND s.score = m.mn
       GROUP BY s.vec_id
     )""")
+    return parts
+
+
+def _kmeans_oracle() -> str:
+    parts = kmeans_cte_parts(_K, _ITERS)
     return (
         "WITH " + ",".join(parts) + f"\n    SELECT vec_id, c AS cluster FROM a{_ITERS}"
     )
+
+
+def lloyd_fit(e: DataFrame, k: int, iters: int):
+    """DataFrame Lloyd fit (the llm_kmeans_lloyd loop, parameterized):
+    returns (assign, cents) — assign(vec_id, c) w.r.t. the FINAL
+    centroids, cents(c, cent: array<double>) on the 1e-5 grid. Both are
+    engine-invariant (see llm_kmeans_lloyd), so callers can hash-match
+    anything built on top against kmeans_cte_parts' SQL twin."""
+    ev = e.select("vec_id", _dbl("embedding").alias("v"))
+    assign = ev.select("vec_id", (F.col("vec_id") % k).cast("int").alias("c"))
+    cents = None
+    for _ in range(iters):
+        cq = (
+            assign.join(ev, "vec_id")
+            .select("c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.round(F.avg("val") * 100000).cast("long").alias("q"))
+        )
+        cents = cq.groupBy("c").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                lambda s: s["q"].cast("double") / 100000.0,
+            ).alias("cent")
+        )
+        scored = ev.crossJoin(
+            F.broadcast(cents.select(F.col("c").alias("cc"), "cent"))
+        ).select(
+            "vec_id",
+            F.col("cc").alias("c"),
+            (
+                _dot(F.col("cent"), F.col("cent")) - 2 * _dot(F.col("v"), F.col("cent"))
+            ).alias("score"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("score", "c")).alias("best"))
+            .select("vec_id", F.col("best.c").cast("int").alias("c"))
+        )
+    return assign, cents
 
 
 @query("llm_kmeans_lloyd", oracle=_kmeans_oracle())
@@ -106,42 +153,12 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id) n×k rows. On a real cluster, persist + truncate lineage
     between iterations (localCheckpoint) — at fixture scale Catalyst
     handles the 3-deep plan directly."""
-    e = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", _dbl("embedding").alias("v")
-    )
-    assign = e.select("vec_id", (F.col("vec_id") % _K).cast("int").alias("c"))
-    for _ in range(_ITERS):
-        cq = (
-            assign.join(e, "vec_id")
-            .select("c", F.posexplode("v").alias("pos", "val"))
-            .groupBy("c", "pos")
-            .agg(F.round(F.avg("val") * 100000).cast("long").alias("q"))
-        )
-        cent = cq.groupBy("c").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "q"))),
-                lambda s: s["q"].cast("double") / 100000.0,
-            ).alias("cent")
-        )
-        scored = e.crossJoin(
-            F.broadcast(cent.select(F.col("c").alias("cc"), "cent"))
-        ).select(
-            "vec_id",
-            F.col("cc").alias("c"),
-            (_dot(F.col("cent"), F.col("cent")) - 2 * _dot(F.col("v"), F.col("cent"))).alias(
-                "score"
-            ),
-        )
-        # argmin with min-c tiebreak as ONE aggregate: lexicographic min
-        # of (score, c) — identical semantics to the oracle's
-        # min-score-then-min-c two-step (doubles are engine-identical),
-        # but a single partial-aggregated exchange instead of a window
-        # sort + filter + re-aggregate
-        assign = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("score", "c")).alias("best"))
-            .select("vec_id", F.col("best.c").cast("int").alias("c"))
-        )
+    e = load_tables(spark, sf_dir)["embeddings"]
+    # argmin inside lloyd_fit is a ONE-aggregate lexicographic min of
+    # (score, c) — identical semantics to the oracle's min-score-then-
+    # min-c two-step (doubles are engine-identical), one partial-
+    # aggregated exchange per iteration instead of a window pipeline
+    assign, _ = lloyd_fit(e, _K, _ITERS)
     return assign.select("vec_id", F.col("c").alias("cluster"))
 
 

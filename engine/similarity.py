@@ -387,101 +387,100 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_NPROBE = 2
+_IVF_CELLS = 10
+_IVF_ITERS = 2
 
 
-@query(
-    "llm_ann_ivf",
-    oracle=f"""
-    WITH ex AS (
-      SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
-      FROM embeddings, (SELECT unnest(generate_series(1, {_DIM})) AS i) g
-    ), avgs AS (
-      SELECT label, pos, round(avg(val), 5) AS a FROM ex GROUP BY label, pos
-    ), cents AS (
-      SELECT label AS c_label, list(a ORDER BY pos) AS centroid
-      FROM avgs GROUP BY label
-    ), q AS (
-      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
-    ), assign AS (
-      SELECT qid, c_label,
+def _ivf_oracle() -> str:
+    from engine.llm_ext import kmeans_cte_parts
+
+    parts = kmeans_cte_parts(_IVF_CELLS, _IVF_ITERS)
+    last = _IVF_ITERS
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 20),
+    qa AS (
+      SELECT qid, c,
              row_number() OVER (
-               PARTITION BY qid ORDER BY round(cos, 6) DESC, c_label) AS cr
+               PARTITION BY qid ORDER BY round(ccos, 6) DESC, c) AS cr
       FROM (
-        SELECT q.qid, c.c_label, {_sql_cos('q.qe', 'c.centroid')} AS cos
-        FROM q CROSS JOIN cents c
+        SELECT q.qid, ct.c, {_sql_cos('q.qe', 'ct.cent')} AS ccos
+        FROM q CROSS JOIN cent{last} ct
       )
-    ), probes AS (
-      SELECT qid, c_label FROM assign WHERE cr <= {_IVF_NPROBE}
-    ), scored AS (
-      SELECT p.qid, e.vec_id AS nid,
-             {_sql_cos('q.qe', 'e.embedding')} AS cos
+    ),
+    probes AS (SELECT qid, c FROM qa WHERE cr <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT p.qid, a.vec_id AS nid,
+             {_sql_cos('q.qe', 'ev.v')} AS cos
       FROM probes p
-      JOIN embeddings e ON e.label = p.c_label
+      JOIN a{last} a ON a.c = p.c
+      JOIN e ev ON ev.vec_id = a.vec_id
       JOIN q ON q.qid = p.qid
-      WHERE e.vec_id <> p.qid
+      WHERE a.vec_id <> p.qid
     )
     SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
       SELECT *, row_number() OVER (
         PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS rn
       FROM scored
-    ) WHERE rn <= 3
-    """,
-)
-def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = per-label centroid (10 cells),
-    each query probes its nprobe=2 nearest cells, exact cosine only within
-    the probed cells, top-3.
+    ) WHERE rn <= 3"""
+    )
 
-    The 100 TB shape: the corpus is partitioned ONCE by cell id (a real
-    deployment would `partitionBy(cell)` the parquet → partition pruning
-    turns each probe into a sub-scan); queries × centroids is a broadcast
-    cross join against a tiny (k_cells × dim) table; exact scoring touches
-    only nprobe/k_cells of the corpus instead of all of it (vs
-    llm_ann_brute). Centroids are rounded to 5dp on BOTH sides, and
-    rankings order by round(cos, 6) with label/nid tie-breaks, so cell
-    assignment and top-k are hash-match deterministic."""
+
+@query("llm_ann_ivf", oracle=_ivf_oracle())
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with a LEARNED coarse quantizer: 10 k-means cells
+    (2 quantized Lloyd iterations — engine/llm_ext.py:lloyd_fit, the
+    same machinery as llm_kmeans_lloyd, so cells are engine-invariant),
+    each query probes its nprobe=2 nearest cells, exact cosine only
+    within the probed cells, top-3.
+
+    r03 upgrade, measured (scripts/ann_recall.py at sf0.1): the round-2
+    design used LABEL cells, but the fixture's labels carry ZERO
+    geometric signal (within-label mean cos ≈ 0.000, identical to
+    global — the vectors are isotropic), so label-probing was a random
+    20% sample: recall@3 = 0.283 ≈ the scan fraction. Learned cells at
+    the SAME nprobe=2 / 20% scan reach recall@3 = 0.417 (1.5×) because
+    k-means caps align with actual geometry even on isotropic data.
+    This is the honest IVF: in production the coarse quantizer is
+    always trained, never a metadata column.
+
+    The 100 TB shape is unchanged: corpus partitioned ONCE by cell id
+    (partitionBy(cell) at rest → partition pruning per probe), queries ×
+    centroids a tiny broadcast cross join, exact scoring touches
+    nprobe/k of the corpus. The oracle unrolls the same Lloyd fit as a
+    CTE chain, so the WHOLE pipeline — training included — hash-matches
+    DuckDB. Rankings order by round(cos, 6) with c/nid tie-breaks."""
+    from engine.llm_ext import lloyd_fit
+
     e = load_tables(spark, sf_dir)["embeddings"]
-    # coarse quantizer — same (label, pos)-keyed shuffle as llm_centroids
-    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
-    avgs = ex.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")), 5).alias("a")
+    assign, cents = lloyd_fit(e, _IVF_CELLS, _IVF_ITERS)
+    ev = e.select("vec_id", _dbl("embedding").alias("v")).withColumn(
+        "nn", F.sqrt(_dot("v", "v"))
     )
-    cents = (
-        avgs.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("c_label"), "centroid")
-    )
-    q = e.where(F.col("vec_id") < 20).select(
+    q = ev.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        # query norm computed once, reused by assignment AND cell scoring
-        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("qn"),
+        F.col("v").alias("qe"),
+        F.col("nn").alias("qn"),
     )
-    qcos = (
-        _dot(_dbl("qe"), F.col("centroid"))
-        / F.col("qn")
-        / F.sqrt(_dot("centroid", "centroid"))
-    )
-    aw = Window.partitionBy("qid").orderBy(F.round(F.col("ccos"), 6).desc(), "c_label")
+    qcos = _dot("qe", "cent") / F.col("qn") / F.sqrt(_dot("cent", "cent"))
+    aw = Window.partitionBy("qid").orderBy(F.round(F.col("ccos"), 6).desc(), "c")
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("qid", "qe", "qn", "c_label", qcos.alias("ccos"))
+        .select("qid", "qe", "qn", "c", qcos.alias("ccos"))
         .withColumn("cr", F.row_number().over(aw))
         .where(F.col("cr") <= _IVF_NPROBE)
-        .select("qid", "qe", "qn", "c_label")
+        .select("qid", "qe", "qn", F.col("c").alias("p_c"))
     )
-    en = e.withColumn("nn", F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))))
-    scored = (
-        en.join(F.broadcast(probes), (F.col("label") == F.col("c_label")) & (F.col("vec_id") != F.col("qid")))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            (_dot(_dbl("qe"), _dbl("embedding")) / F.col("qn") / F.col("nn")).alias("cos"),
-        )
+    en = ev.join(assign, "vec_id")
+    scored = en.join(
+        F.broadcast(probes),
+        (F.col("c") == F.col("p_c")) & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (_dot("qe", "v") / F.col("qn") / F.col("nn")).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 6).desc(), "nid")
     return (
