@@ -169,10 +169,14 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine computed ONLY within buckets; emit pairs ≥ 0.3.
 
     This is the 100 TB ANN shape: one pass to bucket (narrow shuffle on a
-    1-byte key), per-bucket self-join bounded by bucket size. Recall/cost
-    trades via plane count; at cluster scale, salt over-full buckets and
-    union multiple plane sets for recall. Fully hash-match verified — the
-    deterministic planes are embedded in both engines' plans."""
+    1-byte key), per-bucket self-join bounded by bucket size. Honest
+    recall accounting (measured, sf0.1): a SINGLE 8-bit bucket finds
+    2.1% of cos≥0.3 pairs at ~0.4% of the pair comparisons — this key
+    pins the single-band cost floor; real recall is bought by BANDING
+    (OR of many narrow bands — llm_near_dedup_embedding, 0.715 measured)
+    or cell-probing (llm_ann_ivf). At cluster scale, salt over-full
+    buckets. Fully hash-match verified — the deterministic planes are
+    embedded in both engines' plans."""
     e = load_tables(spark, sf_dir)["embeddings"]
     b = e.select(
         "vec_id",
