@@ -82,6 +82,7 @@ _NEW_R03 = [
     "udf_arrow_optimized",
     "scan_time_travel_log",
     "win_sliding_median",
+    "fn_try_arith",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -707,3 +707,48 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec == F.col("c_name")).alias("roundtrip_ok"),
         )
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(floor(o_totalprice / (o_orderkey % 10) * 100 + 0.5)
+                          AS BIGINT) END AS safe_div_cents,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_orderkey + 1 END AS guarded_add,
+           try_cast(CASE WHEN o_orderkey % 2 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE o_orderpriority END AS BIGINT) AS try_to_long
+    FROM orders
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI semantics (Spark 4 defaults to
+    ANSI mode, where /0 and bad casts THROW): try_divide / try_add /
+    try_cast return NULL instead — the operators any large-scale pipeline
+    needs so one poison row cannot kill a 1000-executor job.
+
+    Oracle note: DuckDB's / also errors on zero, so the oracle guards
+    with CASE WHEN — which is exactly the semantics try_divide
+    guarantees, making the twin an independent spelling of the same
+    contract. The division output goes through the exact-cents floor so
+    the hash never rides on float formatting; try_add is exercised via a
+    deterministic NULL-guard twin (its overflow-to-NULL path needs
+    literal LONG_MAX inputs, which the fixture lacks — the /0 and
+    bad-cast paths are the ones hit by real data)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    div = F.expr("try_divide(o_totalprice, o_orderkey % 10)")
+    return o.select(
+        "o_orderkey",
+        F.floor(div * 100 + 0.5).cast("long").alias("safe_div_cents"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("try_add(o_orderkey, 1)"))
+        .alias("guarded_add"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 2 = 0"
+            " THEN CAST(o_orderkey AS STRING)"
+            " ELSE o_orderpriority END AS BIGINT)"
+        ).alias("try_to_long"),
+    )
