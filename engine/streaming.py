@@ -190,10 +190,32 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+    w AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
+             CAST(count(*) AS BIGINT) AS n,
+             min(user_id) AS min_user
+      FROM events GROUP BY 1
+    )
+    SELECT w.ws, w.n, w.min_user, true AS late_row_absent
+    FROM w, mx WHERE w.ws + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour watermark with an injected late row (rows-only oracle; the
-    assertion lives in tests/test_streaming.py).
+    """1-hour watermark with an injected late row — r03: FULL hash oracle
+    (was rows-only). Append mode makes watermark semantics
+    SQL-derivable: the finalized output is exactly the hourly windows
+    whose end ≤ final watermark (max event time − 1 h), with counts that
+    EXCLUDE the dropped late row and the never-finalized buffer window —
+    so the oracle recomputes those windows from the batch table and the
+    hash gate now verifies all three watermark behaviors at once
+    (finalization boundary, late-drop, open-window retention). A leaked
+    late row shifts a count AND min_user (= −1); a mis-finalized window
+    changes the row set. The window grid is epoch-aligned in both
+    engines (Spark window() ↔ DuckDB time_bucket).
 
     Batch 0 carries all real events; batch 1 is a buffer row at max ts
     (Spark applies an advanced watermark with a one-batch delay — verified
