@@ -266,20 +266,45 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_fast")
+@query(
+    "fn_hash_fast",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_xx,
+           CAST(-5720403291101398215 AS BIGINT) AS known_xx,
+           CAST(2854098466 AS BIGINT) AS known_crc,
+           true AS stable
+    FROM customer
+    """,
+)
 def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM-fast hashes with no DuckDB twin (rows-only): xxhash64 (the scale
-    choice for CDC fingerprints — 8 bytes, ~10× md5 throughput) and crc32.
-    Self-validated in-query: hashing must be deterministic per input."""
+    """JVM-fast hashes: xxhash64 (the scale choice for CDC fingerprints —
+    8 bytes, ~10× md5 throughput) and crc32. DuckDB cannot recompute
+    them per row, but r03 makes the key hash-checkable anyway via three
+    independent claims the oracle CAN state: (1) known-answer vectors —
+    xxhash64/crc32 of a fixed literal are algorithm constants (seed 42
+    xxhash64 is specified; a platform or version drift breaks the
+    literal match); (2) injectivity at corpus scale — the count of
+    distinct xxhash64 values must equal the count of distinct inputs
+    (a 64-bit collision among ~10⁴ names has probability ~1e-11, and
+    one WOULD break the hash gate — the same audited-collision pattern
+    as llm_substring_dedup); (3) determinism — hashing the same column
+    twice must agree on every row, folded into `stable`. crc32 is
+    exercised via its known vector only (32 bits collide too often for
+    the injectivity claim to scale)."""
     c = load_tables(spark, sf_dir)["customer"]
     h = c.select(
-        "c_custkey",
         F.xxhash64("c_name").alias("h_xx"),
-        F.crc32("c_name").alias("h_crc"),
         F.xxhash64("c_name").alias("h_xx2"),
     )
-    return h.select(
-        "c_custkey", "h_xx", "h_crc", (F.col("h_xx") == F.col("h_xx2")).alias("stable")
+    return h.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("h_xx").cast("bigint").alias("n_distinct_xx"),
+        F.first(F.xxhash64(F.lit("spark-graft"))).cast("bigint").alias("known_xx"),
+        F.first(F.crc32(F.lit("spark-graft"))).cast("bigint").alias("known_crc"),
+        (F.count(F.when(F.col("h_xx") == F.col("h_xx2"), 1)) == F.count("*")).alias(
+            "stable"
+        ),
     )
 
 
