@@ -83,6 +83,7 @@ _NEW_R03 = [
     "scan_time_travel_log",
     "win_sliding_median",
     "fn_try_arith",
+    "agg_heavy_hitters",
 ]
 
 # The similarity family has the most novel code and zero driver rows

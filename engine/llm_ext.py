@@ -360,3 +360,69 @@ def llm_domain_mix_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "rate_ppm")
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text <> ''
+    ), tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY term
+    ), tot AS (SELECT sum(n) AS t FROM tf)
+    SELECT term, n, CAST(n AS DOUBLE) / t AS share
+    FROM tf, tot WHERE n > t * 0.005
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (terms above 0.5% of the token stream) via the
+    candidate-then-verify sketch pattern: a per-partition Misra-Gries
+    summary (capacity 400, mapInPandas over Arrow batches) nominates
+    candidates, then ONLY the nominated terms are exactly recounted and
+    thresholded. The pigeonhole guarantee makes the output exact and
+    partitioning-invariant despite the sketch: a term with global count
+    > N/400 survives Misra-Gries in at least one partition under ANY
+    partitioning, and the 0.5% threshold (N/200) is comfortably inside
+    that bound — so phase 2's exact recount sees every true heavy
+    hitter, and the filter discards sketch noise. The oracle recounts
+    everything; the hash gate therefore proves the sketch missed
+    nothing.
+
+    At 100 TB this is the point: the full term distribution never
+    shuffles — phase 1 moves ≤400 (term, count) pairs per partition,
+    phase 2 shuffles only the candidate-matched slice of the stream
+    (semi join on a broadcast candidate set)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.where(F.col("text") != "").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        cap = 400
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for term in pdf["term"]:
+                if term in counts:
+                    counts[term] += 1
+                elif len(counts) < cap:
+                    counts[term] = 1
+                else:
+                    dead = [k for k in counts if counts[k] == 1]
+                    for k in counts:
+                        counts[k] -= 1
+                    for k in dead:
+                        del counts[k]
+        yield pd.DataFrame({"term": list(counts.keys())})
+
+    cand = tok.mapInPandas(mg_partition, "term string").distinct()
+    matched = tok.join(F.broadcast(cand), "term", "left_semi")
+    tf = matched.groupBy("term").agg(F.count("*").cast("bigint").alias("n"))
+    total = tok.agg(F.count("*").alias("t"))
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .where(F.col("n") > F.col("t") * 0.005)
+        .select("term", "n", (F.col("n").cast("double") / F.col("t")).alias("share"))
+    )
