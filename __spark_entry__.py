@@ -84,6 +84,7 @@ _NEW_R03 = [
     "win_sliding_median",
     "fn_try_arith",
     "agg_heavy_hitters",
+    "scan_csv_malformed",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -731,3 +731,64 @@ def scan_time_travel_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = state(1).unionByName(state(2)).unionByName(state(3))
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_bad,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest: a CSV feed of the nation table
+    with three hand-broken lines (wrong arity, non-numeric key, bare
+    garbage) read in PERMISSIVE mode with a ``_corrupt_record`` column —
+    the posture a 100 TB ingest needs, where FAILFAST on one bad line
+    would kill the job and silent DROPMALFORMED would lose data without
+    evidence. Output: good-row count, quarantined-row count, and an
+    exact checksum over a parsed column; the oracle recomputes the good
+    side from the source table and states the quarantine count as the
+    construction literal — a row mis-parsed into the good side (or a
+    good row mis-quarantined) shifts two of the three values."""
+    import csv as _csv
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(_SCAN_ORACLE_DIR, "nation_malformed_csv")
+    os.makedirs(path, exist_ok=True)
+    rows = [(r["n_nationkey"], r["n_name"]) for r in t["nation"].collect()]
+    fpath = os.path.join(path, "part-0.csv")
+    with open(fpath, "w", newline="") as f:
+        w = _csv.writer(f)
+        for k, name in rows:
+            w.writerow([k, name])
+        f.write("7,EXTRA,FIELD,HERE\n")       # wrong arity
+        f.write("not_a_number,BADKEY\n")       # unparseable key
+        f.write("garbage-line-without-comma\n")  # wrong arity (1 field)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    return (
+        good.agg(
+            F.count("*").cast("bigint").alias("n_good"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .crossJoin(bad.agg(F.count("*").cast("bigint").alias("n_bad")))
+        .select("n_good", "n_bad", "key_sum")
+        .localCheckpoint(eager=True)
+    )
