@@ -85,6 +85,7 @@ _NEW_R03 = [
     "fn_try_arith",
     "agg_heavy_hitters",
     "scan_csv_malformed",
+    "sink_dynamic_partition_overwrite",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -792,3 +792,63 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_good", "n_bad", "key_sum")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor((CASE WHEN o_orderstatus = 'O'
+                                     THEN o_totalprice + 1
+                                     ELSE o_totalprice END) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS checksum_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic): the
+    in-place partition upsert primitive a lakehouse table maintenance
+    loop runs daily — rewrite ONLY the partitions present in the incoming
+    batch, leave every other partition's files untouched. In STATIC mode
+    (the default) the same INSERT OVERWRITE would first TRUNCATE THE
+    WHOLE TABLE and then write the one incoming partition — silently
+    deleting every other partition: the exact failure mode this key
+    exists to pin.
+
+    Here: orders written partitioned by status, then a corrected batch
+    (price + 1) for status 'O' ONLY is overwritten in; the read-back
+    aggregate must show 'O' rows updated AND the untouched partitions
+    byte-identical — the oracle recomputes all three partitions' counts
+    and exact-cents checksums from the source with the correction
+    applied to 'O'. A truncate-style overwrite zeroes two groups; a
+    missed update leaves 'O' at the old checksum."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    with tempfile.TemporaryDirectory(prefix="engine_dynover_") as base:
+        path = os.path.join(base, "orders_by_status")
+        t["orders"].write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        corrected = (
+            t["orders"]
+            .where(F.col("o_orderstatus") == "O")
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        )
+        (
+            corrected.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+                .cast("bigint")
+                .alias("checksum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
