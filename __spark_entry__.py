@@ -86,6 +86,7 @@ _NEW_R03 = [
     "agg_heavy_hitters",
     "scan_csv_malformed",
     "sink_dynamic_partition_overwrite",
+    "stream_timeout_sessions",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -635,3 +635,133 @@ def stream_scd2_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "event_id", "value", "effective_from", "effective_to", "is_current"
     ).localCheckpoint(eager=True)
+
+
+@query(
+    "stream_timeout_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUTS — the
+    applyInPandasWithState feature the rest of the streaming surface
+    doesn't touch: a session closes either because a later event arrives
+    past the 30-minute gap (in-batch split) or because the WATERMARK
+    passes last_event + 30 min with no successor (state timeout fires
+    and evicts). Built-in session_window gives the same aggregate
+    (stream_session_window); this key exists because real pipelines
+    need custom per-session state machines with eviction, and timeouts
+    are how bounded state is guaranteed.
+
+    Determinism: two far-future sentinel files follow the four real
+    micro-batches. The first advances the watermark past every real
+    session's deadline; the SECOND runs a batch under that advanced
+    watermark, so every remaining real session times out then — no
+    reliance on whether availableNow schedules a trailing eviction-only
+    batch. Sentinel users (≥ 999000) never reach the output; the oracle
+    is the batch 30-min-gap sessionization (win_sessionize semantics)
+    over the real events. State is (start, last, n) per user — O(users)
+    bounded by eviction, sharded by group key at scale."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = io_tmpdir("engine_tosess_")
+    src = _events_stream_dir(spark, sf_dir)
+    import shutil
+
+    for b in ("b0", "b1", "b2", "b3"):
+        shutil.copytree(os.path.join(src, b), os.path.join(base, b))
+        time.sleep(0.02)
+    mx = ev.agg(F.max("ts_ns").alias("m")).collect()[0].m
+    for i, (uid, offset_days) in enumerate(((999_999, 10), (999_998, 20))):
+        ns = mx + offset_days * 86_400_000_000_000
+        row = ev.limit(1).select(
+            F.lit(-1 - i).cast("long").alias("event_id"),
+            F.lit(uid).cast("long").alias("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+            F.expr(
+                f"cast(timestamp_micros({ns} div 1000) as timestamp_ntz)"
+            ).alias("ts"),
+            F.lit(ns).cast("long").alias("ts_ns"),
+        ).select(*[f.name for f in ev.schema.fields])
+        row.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"b{4 + i}")
+        )
+        time.sleep(0.02)
+
+    gap_us = 1_800_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        rows = [pdf for pdf in pdf_iter if len(pdf)]
+        closed = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((key[0], start, last, n))
+            state.remove()
+        else:
+            pdf = (
+                pd.concat(rows).sort_values(["ts_ns", "event_id"])
+                if rows
+                else None
+            )
+            if pdf is not None:
+                if state.exists:
+                    start, last, n = state.get
+                else:
+                    start = last = None
+                for r_us, _eid in zip(
+                    (pdf["ts_ns"] // 1000).tolist(), pdf["event_id"].tolist()
+                ):
+                    if last is None:
+                        start, last, n = r_us, r_us, 1
+                    elif r_us - last > gap_us:
+                        closed.append((key[0], start, last, n))
+                        start, last, n = r_us, r_us, 1
+                    else:
+                        last, n = r_us, n + 1
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "start_us", "end_us", "n_events"]
+        )
+
+    schema = ev.schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+    )
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    res = _run_to_memory(out, "append")
+    return res.where(F.col("user_id") < 999_000).localCheckpoint(eager=True)
