@@ -87,6 +87,7 @@ _NEW_R03 = [
     "scan_csv_malformed",
     "sink_dynamic_partition_overwrite",
     "stream_timeout_sessions",
+    "udf_multimodal_resize",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -527,3 +527,92 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag_udf = F.udf(tag, T.StringType(), useArrow=True)
     p = load_tables(spark, sf_dir)["part"]
     return p.select("p_partkey", tag_udf("p_brand", "p_name").alias("tag"))
+
+
+@query(
+    "udf_multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 3) % 9 AS h,
+             1 + 2 * (doc_id % 2) AS c
+      FROM documents
+    ), rz AS (
+      SELECT doc_id, w, h, c,
+             list_transform(
+               generate_series(0, 4*4*c - 1),
+               j -> (doc_id*31
+                     + ((((j // (4*c)) * h // 4) * w
+                         + ((j % (4*c)) // c) * w // 4) * c
+                        + j % c) * 17) % 256
+             ) AS p
+      FROM dims
+    )
+    SELECT doc_id, CAST(4 AS INTEGER) AS rw, CAST(4 AS INTEGER) AS rh,
+           CAST(c AS INTEGER) AS c,
+           CAST(list_sum(p) AS BIGINT) AS checksum,
+           CAST(list_sum(p) AS DOUBLE) / (4*4*c) AS mean_px,
+           true AS resize_ok
+    FROM rz
+    """,
+)
+def udf_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE over the opaque IMG1 media column — the third
+    leg of the media-UDF triad (decode / frame-sample / resize): each
+    payload is decoded byte-for-byte and nearest-neighbor downsampled to
+    a fixed 4×4 thumbnail per channel with pure numpy index arithmetic
+    (src pixel = ((y·h)//4, (x·w)//4) — no image library, which is the
+    point: the Spark-side plumbing is identical to a PIL/ffmpeg resize,
+    and the byte math is fully real).
+
+    The checksum is an EXACT integer sum over the resized buffer, so the
+    hash gate rides on the precise bytes the resampler selected — an
+    off-by-one in the index map or a corrupt payload shifts it. The
+    oracle re-derives the same thumbnail from the generation rule with
+    the same integer index arithmetic. Same scale posture as decode:
+    no shuffle, Arrow-batched, embarrassingly parallel over scan
+    partitions."""
+    import struct
+
+    import numpy as np
+
+    d = load_tables(spark, sf_dir)["documents"]
+
+    @F.pandas_udf(T.BinaryType())
+    def make_img1(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.apply(lambda i: _img1_encode(int(i)))
+
+    media = d.select("doc_id", make_img1("doc_id").alias("payload"))
+    out_schema = (
+        "doc_id long, rw int, rh int, c int, checksum long, "
+        "mean_px double, resize_ok boolean"
+    )
+
+    def resize_one(doc_id: int, payload: bytes) -> tuple:
+        b = bytes(payload)
+        magic, c, w, h = struct.unpack(">4sBHH", b[:_IMG1_HEADER_LEN])
+        if magic != _IMG1_MAGIC or len(b) != _IMG1_HEADER_LEN + w * h * c:
+            return (doc_id, 0, 0, 0, None, None, False)
+        px = np.frombuffer(b, dtype=np.uint8, offset=_IMG1_HEADER_LEN).reshape(
+            h, w, c
+        )
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        thumb = px[np.ix_(ys, xs)].astype(np.int64)
+        s = int(thumb.sum())
+        return (doc_id, 4, 4, int(c), s, s / (16 * int(c)), True)
+
+    def resize_batches(batches):
+        for pdf in batches:
+            rows = [
+                resize_one(int(i), p) for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rw", "rh", "c", "checksum", "mean_px", "resize_ok",
+                ],
+            )
+
+    return media.mapInPandas(resize_batches, out_schema)
