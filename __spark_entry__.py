@@ -88,6 +88,7 @@ _NEW_R03 = [
     "sink_dynamic_partition_overwrite",
     "stream_timeout_sessions",
     "udf_multimodal_resize",
+    "llm_dataset_card",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -344,3 +344,73 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
         )
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             md5(text) AS fp,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text <> ''
+    ), top_src AS (
+      SELECT source FROM base GROUP BY source
+      ORDER BY count(*) DESC, source LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) / count(*)
+             AS pct_en,
+           1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)
+             AS exact_dup_rate,
+           CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_tokens,
+           (SELECT source FROM top_src) AS top_source
+    FROM base
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the summary block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"): corpus size in docs and
+    tokens, language spread and English share, exact-duplicate rate
+    (1 − distinct fingerprints / docs — the md5 content fingerprint
+    from llm_exact_dedup), mean document length, dominant source. The
+    kind of op a curation pipeline runs after every transformation to
+    log what it just did to the data.
+
+    One pass builds per-doc (fingerprint, token count) columns; the card
+    is a single global aggregate (count/sum/distinct — the distincts
+    shuffle fingerprints and lang codes only), plus a broadcast scalar
+    for the deterministically-tiebroken top source. All ratios are
+    int/int — bit-identical doubles, no rounding."""
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    base = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    top_src = (
+        base.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "source")
+        .limit(1)
+        .select("source")
+    )
+    return (
+        base.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            (
+                F.count(F.when(F.col("lang") == "en", 1)).cast("double")
+                / F.count("*")
+            ).alias("pct_en"),
+            (
+                1.0 - F.count_distinct("fp").cast("double") / F.count("*")
+            ).alias("exact_dup_rate"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("mean_tokens"),
+        )
+        .crossJoin(F.broadcast(top_src.withColumnRenamed("source", "top_source")))
+    )
