@@ -89,6 +89,7 @@ _NEW_R03 = [
     "stream_timeout_sessions",
     "udf_multimodal_resize",
     "llm_dataset_card",
+    "events_cohort_matrix",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -691,3 +691,53 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("percentile(value, 0.5)").over(w).alias("med5"),
     )
+
+
+@query(
+    "events_cohort_matrix",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+      FROM events
+    ), first_wk AS (
+      SELECT user_id, min(w) AS w0 FROM wk GROUP BY user_id
+    )
+    SELECT f.w0 AS cohort_week,
+           CAST(date_diff('week', f.w0, a.w) AS INTEGER) AS age_weeks,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM first_wk f JOIN wk a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cohort-retention triangle: users bucketed by FIRST-ACTIVE week
+    (acquisition cohort), counted distinct at every subsequent age —
+    the (cohort × age) matrix a growth dashboard renders as the
+    retention heatmap. events_retention is the adjacent-week diagonal of
+    this; the matrix is the general object.
+
+    Built from the distinct (user, week) activity relation computed once
+    (one shuffle carries user-weeks, not events), its per-user min week
+    (same partitioning reused), and a self-join back on user_id — age is
+    integer week arithmetic on epoch-aligned Monday truncations, so the
+    matrix cells are exact counts with no float anywhere. At 100 TB the
+    relation is |users| × |active weeks| — the matrix aggregate is tiny
+    and the user_id shuffle is the only real exchange."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wk = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    first = wk.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (
+                F.floor(
+                    (F.unix_micros(F.col("w")) - F.unix_micros(F.col("w0")))
+                    / F.lit(604_800_000_000)
+                )
+            )
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
