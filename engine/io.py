@@ -208,11 +208,26 @@ _CSV_SCHEMA = T.StructType(
 )
 
 
-#: Fixed handoff dir for file-format round-trip keys: the Spark side of a
-#: key writes here, the DuckDB oracle reads the SAME files back (the driver
-#: runs the Spark query first). One dir, overwritten per run — bounded disk,
-#: no per-pid leak (r01 ADVICE).
-_SCAN_ORACLE_DIR = "/tmp/engine_scan_oracle"
+#: Handoff dir for file-format round-trip keys: the Spark side of a key
+#: writes here, the DuckDB oracle reads the SAME files back (the driver
+#: runs the Spark query first; the oracle SQL strings embed this path and
+#: are built in the same process, so writer and reader always agree).
+#: Per-PID since r03: a fixed path let two concurrent harness processes
+#: (e.g. the test suite and a verify script) overwrite each other's
+#: handoff mid-read — an environment-only hazard, but cheap to remove.
+#: atexit cleanup keeps /tmp bounded (r01 ADVICE).
+_SCAN_ORACLE_DIR = f"/tmp/engine_scan_oracle_{os.getpid()}"
+
+
+def _cleanup_scan_oracle_dir() -> None:
+    import shutil
+
+    shutil.rmtree(_SCAN_ORACLE_DIR, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_scan_oracle_dir)
 
 
 @query(
