@@ -90,6 +90,7 @@ _NEW_R03 = [
     "udf_multimodal_resize",
     "llm_dataset_card",
     "events_cohort_matrix",
+    "join_scd2_lookup",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -817,3 +817,78 @@ def agg_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_cents").cast("double") / 100).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of lookup (the dimensional-model join at event time)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_scd2_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey AS custkey, o_orderkey AS version_key,
+             o_totalprice AS attr,
+             o_orderdate AS eff_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS eff_to
+      FROM orders
+    ), fact AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id, h.version_key,
+           CAST(floor(h.attr * 100 + 0.5) AS BIGINT) AS attr_cents
+    FROM fact f
+    JOIN hist h
+      ON h.custkey = f.user_id
+     AND f.ts >= h.eff_from
+     AND (h.eff_to IS NULL OR f.ts < h.eff_to)
+    """,
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 dimension lookup AS OF event time — the dimensional
+    model's bread-and-butter join: each purchase event picks up the
+    dimension version (here: the customer's order history as a Type-2
+    changelog, version = order, attribute = total price) whose validity
+    interval [effective_from, effective_to) contains the event
+    timestamp. SCD2 intervals partition time per key, so the join is
+    1:≤1 by construction — no fan-out, no dedup needed.
+
+    Physical strategy: equi-join on the KEY (custkey = user_id) with the
+    interval containment as a join residual — the validity intervals of
+    one key are few, so the residual prunes cheaply after the hash
+    match; this is NOT a range join needing bucketization because the
+    equi key carries all the selectivity (contrast join_range_bucketized,
+    where there is no equi key at all). At 100 TB both sides shuffle
+    once on the key; a hot dimension key is a skew cell and AQE's skew
+    join handles it. Null-safe open interval: the current version's
+    eff_to IS NULL arm keeps late facts joinable to the newest
+    version."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = t["orders"].select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_totalprice").alias("attr"),
+        F.col("o_orderdate").alias("eff_from"),
+        F.lead("o_orderdate").over(w).alias("eff_to"),
+    )
+    fact = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    return fact.join(
+        hist,
+        (F.col("custkey") == F.col("user_id"))
+        & (F.col("ts") >= F.col("eff_from"))
+        & (F.col("eff_to").isNull() | (F.col("ts") < F.col("eff_to"))),
+    ).select(
+        "user_id",
+        "event_id",
+        "version_key",
+        F.floor(F.col("attr") * 100 + 0.5).cast("long").alias("attr_cents"),
+    )
