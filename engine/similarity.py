@@ -1037,8 +1037,14 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cell verifies pairwise cosine with ONE normalized matmul per
     group (applyInPandas — same per-group pattern as _banded_tau_pairs).
     At 100 TB the cell count scales with k ∝ n so cells stay bounded
-    (real SemDeDup uses k ≈ n/10k); here cells are the 10 fixture labels.
-    Verdicts carry no float — drop_id/keep_id/cell hash exactly."""
+    (real SemDeDup uses k ≈ n/10k); here cells are the 10 fixture-label
+    centroids. NB the isotropy finding that forced llm_ann_ivf onto
+    LEARNED cells (r03) does NOT apply here: dedup targets near-
+    identical vectors, and a vector and its duplicate land in the same
+    cell under ANY consistent assignment (their argmaxes agree because
+    the vectors barely differ) — cell quality moves retrieval recall,
+    not duplicate recall. Verdicts carry no float — drop_id/keep_id/cell
+    hash exactly."""
     import numpy as np
 
     e = load_tables(spark, sf_dir)["embeddings"]
