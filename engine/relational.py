@@ -1176,11 +1176,13 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
-             count(*) AS n, sum(value) AS sv, min(value) AS mn, max(value) AS mx
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc,
+             min(value) AS mn, max(value) AS mx
       FROM events GROUP BY 1, 2
     ), daily AS (
       SELECT date_trunc('day', bucket) AS bucket, event_type,
-             CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv,
+             CAST(sum(n) AS BIGINT) AS n, sum(sc) AS sc,
              min(mn) AS mn, max(mx) AS mx
       FROM hourly GROUP BY 1, 2
     ), both_res AS (
@@ -1189,8 +1191,9 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'day' AS resolution, * FROM daily
     )
     SELECT resolution, bucket, event_type, n,
-           round(sv, 4) AS sum_value, round(mn, 4) AS min_value,
-           round(mx, 4) AS max_value, round(round(sv, 4) / n, 4) AS avg_value
+           CAST(sc AS DOUBLE) / 100 AS sum_value, round(mn, 4) AS min_value,
+           round(mx, 4) AS max_value,
+           CAST(sc AS DOUBLE) / 100 / n AS avg_value
     FROM both_res
     """,
 )
@@ -1209,7 +1212,12 @@ def agg_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("sv"),
+        # exact integer cents (value has 2dp): float sums differ in the
+        # last ulp with addition order, and at sf0.001 a bucket's sum
+        # lands exactly on a 4dp rounding boundary — caught by the
+        # cross-scale sweep (r03); integer partials are order-free AND
+        # remain decomposable for the daily re-aggregation
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sc"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
     )
@@ -1217,7 +1225,7 @@ def agg_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "bucket").alias("bucket"), "event_type"
     ).agg(
         F.sum("n").alias("n"),
-        F.sum("sv").alias("sv"),
+        F.sum("sc").alias("sc"),
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
     )
@@ -1229,14 +1237,10 @@ def agg_time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         "n",
-        F.round("sv", 4).alias("sum_value"),
+        (F.col("sc").cast("double") / 100).alias("sum_value"),
         F.round("mn", 4).alias("min_value"),
         F.round("mx", 4).alias("max_value"),
-        # avg from the ROUNDED sum: the raw sums differ in the last ulp
-        # across engines/runs (addition order), and fixture values make
-        # sv/n land exactly on round-half boundaries; dividing identical
-        # rounded doubles is deterministic on both sides (§5.3)
-        F.round(F.round(F.col("sv"), 4) / F.col("n"), 4).alias("avg_value"),
+        (F.col("sc").cast("double") / 100 / F.col("n")).alias("avg_value"),
     )
 
 
