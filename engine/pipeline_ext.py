@@ -1,0 +1,735 @@
+"""Round-3 (late) pipeline additions: RAG chunking, span-level corpus
+dedup, Bloom-filter incremental dedup, star-schema broadcast joins,
+multi-distinct aggregation, event-path mining, gaps-and-islands, windowed
+funnels, and z-score anomaly detection.
+
+Design rules shared with the sibling modules (SURVEY §5.3):
+  - every float that reaches the output is either a ratio of exact
+    integers (bit-identical across engines) or derived from exact-integer
+    partials (the `a348790` cents pattern) — no order-dependent float sum
+    is ever compared raw;
+  - all hashes that must match DuckDB use the md5 family (hex-sliced into
+    integer lanes where arithmetic is needed);
+  - timestamps are compared in integer microseconds (`ts_ns div 1000` on
+    the Spark side vs `epoch_us(CAST(ts AS TIMESTAMP))` in DuckDB).
+
+Everything here is explode→agg, window, or broadcast-join shaped — no
+Python in any hot path, no driver-side loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.io import load_tables
+from engine.registry import query
+
+# ---------------------------------------------------------------------------
+# RAG chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap)
+
+
+@query(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text <> ''
+    ), m AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {_CHUNK_W} THEN 0
+                  ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+             END AS last_i
+      FROM t
+    )
+    SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+           CAST(g.i * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_W}, n - g.i * {_CHUNK_S}) AS BIGINT) AS n_tok,
+           array_to_string(
+             list_slice(toks, g.i * {_CHUNK_S} + 1,
+                        g.i * {_CHUNK_S} + {_CHUNK_W}), ' ') AS chunk_text
+    FROM m, unnest(range(0, last_i + 1)) AS g(i)
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (W=32 tokens, stride 24 → 8-token
+    overlap) — the retrieval/RAG pre-processing step that turns a document
+    corpus into an embedding-ready chunk table.
+
+    All array-side and JVM-codegen: split → sequence(0, last) →
+    posexplode → slice → array_join; one narrow pass over the corpus with
+    NO shuffle at all (chunk rows inherit the scan partitioning), which is
+    the property that matters at 100 TB — chunking is embarrassingly
+    parallel and this plan keeps it that way. The chunk-count arithmetic
+    is guarded integer math (CASE before the division) so both engines
+    agree for n <= W without relying on negative-floor-division parity."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.where(F.col("text") != "").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    m = t.withColumn(
+        "last_i",
+        F.when(F.col("n") <= _CHUNK_W, F.lit(0)).otherwise(
+            F.floor((F.col("n") - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S)
+        ),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("last_i"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_id"),
+            (F.col("i") * _CHUNK_S).cast("long").alias("start_tok"),
+            F.least(F.lit(_CHUNK_W), F.col("n") - F.col("i") * _CHUNK_S)
+            .cast("long")
+            .alias("n_tok"),
+            F.array_join(
+                F.expr(f"slice(toks, i * {_CHUNK_S} + 1, {_CHUNK_W})"), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (block) dedup with reassembly
+# ---------------------------------------------------------------------------
+
+_BLOCK_B = 20  # words per block
+
+
+@query(
+    "llm_block_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text <> ''
+    ), blocks AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+             array_to_string(
+               list_slice(toks, g.i * {_BLOCK_B} + 1,
+                          g.i * {_BLOCK_B} + {_BLOCK_B}), ' ') AS block_text
+      FROM t, unnest(range(0, (n + {_BLOCK_B} - 1) // {_BLOCK_B})) AS g(i)
+    ), ranked AS (
+      SELECT doc_id, i, block_text,
+             row_number() OVER (PARTITION BY md5(block_text)
+                                ORDER BY doc_id, i) AS rn
+      FROM blocks
+    ), kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(block_text, ' ' ORDER BY i) AS kept_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_blocks,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           b.n_blocks - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+    """,
+)
+def llm_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup with document reassembly (the
+    RefinedWeb/C4 "line dedup" shape, adapted to this corpus's
+    newline-free text as fixed 20-word blocks): every block that occurs
+    more than once corpus-wide is removed everywhere EXCEPT its canonical
+    first occurrence (min (doc_id, position)), and documents are
+    reassembled from their surviving blocks.
+
+    Scale shape: blocks explode once, shuffle ONCE keyed on
+    md5(block_text) (16-byte keys, never the raw span text as a wide
+    shuffle key beyond the first hop), the per-hash window is a
+    row_number over groups whose size is the duplication factor (small by
+    definition), and reassembly is one groupBy doc_id with an array_sort
+    collect — two shuffles total, both map-side combinable. At 100 TB
+    this is exactly CCNet/RefinedWeb's span-dedup topology; the canonical
+    keep-first rule makes the output deterministic under any partitioning
+    (asserted by the partition-invariance sweep)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.where(F.col("text") != "").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    blocks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("n") + _BLOCK_B - 1) / _BLOCK_B) - 1
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.array_join(F.expr(f"slice(toks, i * {_BLOCK_B} + 1, {_BLOCK_B})"), " ").alias(
+            "block_text"
+        ),
+    )
+    w = Window.partitionBy(F.md5("block_text")).orderBy("doc_id", "i")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    kept = (
+        ranked.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "block_text"))),
+                    lambda s: s["block_text"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    base = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 18  # bits
+_BLOOM_K = 4  # hash functions (md5 hex slices)
+
+
+def _hex_slice_int_sql(col: str, start: int, width: int) -> str:
+    """DuckDB hex→int for a fixed-width md5 slice (no conv() in DuckDB):
+    positional strpos fold, exact for width ≤ 15."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bloom_positions_sql(col: str) -> list[str]:
+    # four disjoint 5-hex-digit (20-bit) slices of the 32-digit md5
+    return [
+        f"({_hex_slice_int_sql(col, 1 + 5 * j, 5)} % {_BLOOM_M})"
+        for j in range(_BLOOM_K)
+    ]
+
+
+@query(
+    "llm_bloom_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS h, doc_id % 5 = 4 AS is_new FROM documents
+    ), hist_pos AS (
+      SELECT DISTINCT p.pos FROM hashed,
+        unnest([{", ".join(_bloom_positions_sql("h"))}]) AS p(pos)
+      WHERE NOT is_new
+    ), bloom AS (
+      SELECT pos // 32 AS wd, bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS w
+      FROM hist_pos GROUP BY 1
+    ), new_pos AS (
+      SELECT doc_id, h, p.pos FROM hashed,
+        unnest([{", ".join(_bloom_positions_sql("h"))}]) AS p(pos)
+      WHERE is_new
+    ), probed AS (
+      SELECT n.doc_id, n.h,
+             min(CASE WHEN (COALESCE(b.w, 0) >> (n.pos % 32)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM new_pos n LEFT JOIN bloom b ON n.pos // 32 = b.wd
+      GROUP BY 1, 2
+    ), hist_h AS (
+      SELECT DISTINCT h FROM hashed WHERE NOT is_new
+    )
+    SELECT p.doc_id, p.all_set = 1 AS bloom_hit,
+           hh.h IS NOT NULL AS exact_dup,
+           p.all_set = 1 AND hh.h IS NULL AS false_positive
+    FROM probed p LEFT JOIN hist_h hh ON p.h = hh.h
+    """,
+)
+def llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch (doc_id % 5 == 4) against the
+    historical corpus via a Bloom filter built as a DataFrame aggregate —
+    the pattern that lets a 100 TB pipeline skip re-shuffling the entire
+    historical corpus on every incremental load.
+
+    The filter is m = 2^18 bits / k = 4 md5-slice hashes, materialized as
+    ≤ 8192 packed 64-bit words via groupBy(word) + bit_or — a
+    FIXED-SIZE aggregate regardless of corpus size, which then
+    broadcast-joins to the new batch's probe positions (the big side
+    never shuffles; only the probe explode × 4 rows flow). Bloom
+    membership can false-positive but never false-negative, so the query
+    also runs the exact md5 anti-join as the audit stage and emits
+    `false_positive` explicitly — at scale you'd sample this stage; here
+    it doubles as the correctness certificate (exact_dup ⇒ bloom_hit is
+    asserted by the property suite). Hashes are md5 hex slices (20-bit
+    lanes) so DuckDB reproduces every bit; the production variant would
+    swap in xxhash64 exactly like the minhash twins."""
+    d = load_tables(spark, sf_dir)["documents"]
+    hashed = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
+    )
+    pos_cols = [
+        (F.conv(F.substring("h", 1 + 5 * j, 5), 16, 10).cast("long") % _BLOOM_M)
+        for j in range(_BLOOM_K)
+    ]
+    with_pos = hashed.select(
+        "doc_id", "h", "is_new", F.explode(F.array(*pos_cols)).alias("pos")
+    )
+    bloom = (
+        with_pos.where(~F.col("is_new"))
+        .select((F.col("pos") / 32).cast("long").alias("wd"),
+                F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").alias("b"))
+        .groupBy("wd")
+        .agg(F.expr("bit_or(b)").alias("w"))
+    )
+    probed = (
+        with_pos.where(F.col("is_new"))
+        .join(F.broadcast(bloom), (F.col("pos") / 32).cast("long") == F.col("wd"), "left")
+        .select(
+            "doc_id",
+            "h",
+            F.when(
+                F.expr("(coalesce(w, 0) >> cast(pos % 32 as int)) & 1") == 1, 1
+            ).otherwise(0).alias("set_bit"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("set_bit").alias("all_set"))
+    )
+    hist_h = hashed.where(~F.col("is_new")).select("h").distinct()
+    return probed.join(
+        F.broadcast(hist_h.withColumnRenamed("h", "hh")),
+        probed["h"] == F.col("hh"),
+        "left",
+    ).select(
+        "doc_id",
+        (F.col("all_set") == 1).alias("bloom_hit"),
+        F.col("hh").isNotNull().alias("exact_dup"),
+        ((F.col("all_set") == 1) & F.col("hh").isNull()).alias("false_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema broadcast join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_star_schema",
+    oracle="""
+    SELECT r.r_name, p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema fact-to-many-dims join: lineitem against FOUR
+    dimensions (supplier → nation → region chain plus part), every one
+    broadcast — the canonical data-warehouse topology where the only
+    correct plan at 100 TB is "fact table never shuffles until the final
+    aggregate".
+
+    The plan test pins ZERO SortMergeJoin and ≥4 BroadcastHashJoin: the
+    fact scan flows through four broadcast probes in ONE whole-stage
+    codegen pipeline, then a single map-side-combined aggregate on the
+    (region, brand) key (50 groups). part is the largest dim (0.2× the
+    order count in TPC-H) — at real scale it exceeds the 10 MB default
+    autoBroadcastJoinThreshold but comfortably fits executor memory as an
+    explicit broadcast up to a few GB; past that you bucket part and
+    lineitem on partkey (sink_bucketed_join shows that path). Revenue
+    sums exact integer cents (a348790 pattern): bit-identical across
+    engines and partitionings, no rounding-boundary risk."""
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-distinct aggregate (Expand plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(count(DISTINCT CAST(o.o_orderdate AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three COUNT(DISTINCT ...) over different keys in one aggregate —
+    the shape Catalyst rewrites into an Expand (row multiplication by the
+    number of distinct groups) plus a two-phase aggregate, instead of
+    three self-joined single-distinct plans.
+
+    Scale note: Expand triples the shuffled row count but keeps ONE
+    exchange; the alternative (N separate aggregates + join) is N
+    exchanges plus a join on the group key. For wide group cardinality
+    the rewrite wins on network; when one distinct column dominates
+    (billions of custkeys), you split that one out as approx_distinct or
+    a bitmap (agg_bitmap_distinct shows the exact-bitmap path). The
+    customer join is broadcast (dim side)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-path mining (session trigrams)
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+_PATH_TOPK = 20
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN us - lag(us) OVER w > {_SESS_GAP_US}
+                       OR lag(us) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS sid
+      FROM flagged
+    ), grams AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w2
+               || '>' || lead(event_type, 2) OVER w2 AS path
+      FROM sess WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+    ), counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n FROM grams
+      WHERE path IS NOT NULL GROUP BY path
+    )
+    SELECT path, n FROM (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM counted
+    ) WHERE rk <= {_PATH_TOPK}
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral paths: sessionize (30-min gap), slide a 3-gram
+    window over each session's ordered event types, count paths globally,
+    return the most frequent (ties broken lexicographically so the cut is
+    deterministic).
+
+    One shuffle on user_id serves BOTH windows (session assignment and
+    the trigram lead()s — same partitioning, Catalyst reuses the sort),
+    then one map-side-combined count on the path string and a
+    TakeOrderedAndProject for the top-k (no global sort materialized).
+    Path cardinality is |event_types|³ max — tiny — so the final agg
+    never skews regardless of event volume."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _SESS_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    w2 = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    grams = sess.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w2).alias("third"),
+    ).where(F.col("third").isNotNull())
+    counted = grams.groupBy("path").agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _PATH_TOPK)
+        .select("path", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dd
+      FROM events
+    ), ranked AS (
+      SELECT user_id, dd,
+             dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) AS grp
+      FROM days
+    )
+    SELECT user_id,
+           strftime(DATE '2024-01-01' + CAST(min(dd) AS INTEGER),
+                    '%Y-%m-%d') AS start_day,
+           strftime(DATE '2024-01-01' + CAST(max(dd) AS INTEGER),
+                    '%Y-%m-%d') AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM ranked GROUP BY user_id, grp
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active days into maximal
+    runs of consecutive days (start, end, length) via the classic
+    day-minus-row_number grouping key — the streak/uptime primitive.
+
+    Day indexes are exact integers (datediff from a fixed epoch), so the
+    island key is integer arithmetic on both engines. One shuffle on
+    user_id (distinct + window share it), then a groupBy on
+    (user_id, grp) that is map-side combinable; no joins. Island count
+    per user is bounded by days-per-user, so no skew risk at any scale."""
+    e = load_tables(spark, sf_dir)["events"]
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "dd"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dd")
+    ranked = days.withColumn("grp", F.col("dd") - F.row_number().over(w))
+    return ranked.groupBy("user_id", "grp").agg(
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.min("dd").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("start_day"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.max("dd").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("end_day"),
+        F.count("*").alias("n_days"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel (windowFunnel shape)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h from the first step
+
+
+@query(
+    "events_window_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), s1 AS (
+      SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t1, min(e.us) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.us > s1.t1
+        AND e.us <= s1.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        AND e.us <= s2.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 + CAST(s2.user_id IS NOT NULL AS INTEGER)
+                  + CAST(s3.user_id IS NOT NULL AS INTEGER)
+                AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    GROUP BY 1
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel: deepest view → click → purchase
+    chain each user completes within 24 h of their FIRST view, reported
+    as a level histogram (level 1 = view only, 3 = full funnel).
+
+    Unlike events_funnel (unbounded ordered funnel), every later step
+    must land inside the window anchored at t1 — the conversion-attribution
+    semantics. Each stage is a groupBy-min plus one join against a
+    frontier that only shrinks, so AQE broadcast-converts stages 2-3; all
+    time arithmetic is integer microseconds (exact on both engines). The
+    final histogram has ≤3 rows; skewed hot users stress only the stage-1
+    map-side combine."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id", "t1")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        s1.join(s2.select("user_id", F.lit(1).alias("has2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("has3")), "user_id", "left")
+        .select(
+            (
+                1
+                + F.col("has2").isNotNull().cast("int")
+                + F.col("has3").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("level")
+        )
+        .groupBy("level")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection over daily counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dd,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), winstats AS (
+      SELECT event_type, dd, cnt,
+             sum(cnt) OVER w AS s1, sum(cnt * cnt) OVER w AS s2,
+             count(*) OVER w AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY dd
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, dd, cnt,
+           (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) / 7) / 6) AS z,
+           COALESCE(abs((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) / 7) / 6)) >= 2.0,
+             FALSE) AS is_anomaly
+    FROM winstats WHERE k = 7
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection on daily event counts: each
+    (event_type, day) is scored against the mean/stddev of the previous 7
+    observed days — the pipeline-monitoring primitive that catches volume
+    regressions in an ingest feed.
+
+    Float discipline (§5.3): mean and variance are computed EXPLICITLY
+    from integer window sums (Σx, Σx², both BIGINT) with a fixed
+    expression tree — never from the engines' stddev_samp, whose internal
+    accumulation order differs — so the resulting doubles are
+    bit-identical across engines and partitionings with NO grid rounding.
+    One shuffle on event_type (tiny), window over day-ordered rows;
+    daily pre-aggregation means window input is |types|×|days| rows, not
+    raw events."""
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("dd"),
+        )
+        .groupBy("event_type", "dd")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("dd").rowsBetween(-7, -1)
+    stats = daily.select(
+        "event_type",
+        "dd",
+        "cnt",
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+        F.count("*").over(w).alias("k"),
+    ).where(F.col("k") == 7)
+    z = (F.col("cnt").cast("double") - F.col("s1").cast("double") / 7) / F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / 7
+        )
+        / 6
+    )
+    return stats.select(
+        "event_type",
+        "dd",
+        "cnt",
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("is_anomaly"),
+    )

@@ -46,6 +46,7 @@ def load_all() -> None:
         io,
         llm_ext,
         llm_ops,
+        pipeline_ext,
         relational,
         relational_ext,
         similarity,

@@ -334,3 +334,39 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     s = _plan(spark, "join_null_safe", sf_dir)
     assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
+
+
+def test_star_schema_all_dims_broadcast(spark, sf_dir):
+    """join_star_schema: the fact table must flow through four broadcast
+    probes without a single shuffle join — the only Exchange allowed is
+    the final (region, brand) aggregate's."""
+    s = _plan(spark, "join_star_schema", sf_dir)
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    assert s.count("BroadcastHashJoin") >= 4, "expected 4 broadcast dims"
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """llm_chunk_overlap is a narrow per-row transform: any Exchange in
+    the plan means chunking stopped being embarrassingly parallel."""
+    import re
+
+    s = _plan(spark, "llm_chunk_overlap", sf_dir)
+    assert not re.findall(r"\(\d+\) Exchange", s), "chunking must not shuffle"
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """agg_multi_distinct must take Catalyst's Expand rewrite (one
+    exchange), not N separate distinct aggregates joined together."""
+    s = _plan(spark, "agg_multi_distinct", sf_dir)
+    assert "Expand" in s
+
+
+def test_path_topk_shares_user_exchange(spark, sf_dir):
+    """Both windows (sessionize + trigram lead) hash-partition by
+    user_id; Catalyst must reuse one exchange for them. Expected
+    exchanges: user_id window + path count + top-k single partition = 3."""
+    import re
+
+    s = _plan(spark, "events_path_topk", sf_dir)
+    n = len(set(re.findall(r"\(\d+\) Exchange", s)))
+    assert n <= 3, f"expected ≤3 Exchanges (user window reused), got {n}"

@@ -95,3 +95,82 @@ def test_kmeans_clusters_nearest_centroid(spark, sf_dir):
         if int(np.argmin(d)) == cc:
             agree += 1
     assert agree / len(assign) >= 0.9
+
+
+def test_bloom_dedup_never_false_negative(spark, sf_dir):
+    """Bloom soundness: exact_dup ⇒ bloom_hit for every probed doc (a
+    Bloom filter can false-positive but never false-negative), and
+    false_positive must equal bloom_hit ∧ ¬exact_dup."""
+    out = registry.QUERIES["llm_bloom_dedup"](spark, sf_dir)
+    bad = out.where(F.col("exact_dup") & ~F.col("bloom_hit")).count()
+    assert bad == 0, f"{bad} false negatives — bloom construction is broken"
+    mism = out.where(
+        F.col("false_positive") != (F.col("bloom_hit") & ~F.col("exact_dup"))
+    ).count()
+    assert mism == 0
+
+
+def test_block_dedup_conservation(spark, sf_dir):
+    """Every block is either kept exactly once per distinct content
+    occurrence-set or removed: corpus-wide, n_kept summed over docs must
+    equal the number of DISTINCT block contents, and no doc may keep more
+    blocks than it has."""
+    out = registry.QUERIES["llm_block_dedup"](spark, sf_dir)
+    assert out.where(F.col("n_kept") > F.col("n_blocks")).count() == 0
+    kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+    from engine.io import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    distinct_blocks = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.col("n") + 19) / 20) - 1)
+            ).alias("i"),
+            "toks",
+        )
+        .select(F.array_join(F.expr("slice(toks, i * 20 + 1, 20)"), " ").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_blocks, (
+        f"kept {kept_total} blocks vs {distinct_blocks} distinct contents"
+    )
+
+
+def test_chunk_overlap_reconstructs_corpus(spark, sf_dir):
+    """Chunk coverage: dropping each chunk's 8-token overlap prefix
+    (except chunk 0) and concatenating in order must reconstruct every
+    document exactly — no token lost or duplicated by the chunker."""
+    from engine.io import load_tables
+
+    out = registry.QUERIES["llm_chunk_overlap"](spark, sf_dir)
+    rebuilt = (
+        out.select(
+            "doc_id",
+            "chunk_id",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.array_join(
+                    F.expr("slice(split(chunk_text, ' '), 9, 32)"), " "
+                )
+            ).alias("piece"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "piece"))),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    diff = (
+        rebuilt.join(d, "doc_id")
+        .where(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert diff == 0, f"{diff} documents not reconstructed from their chunks"
