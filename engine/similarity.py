@@ -1120,3 +1120,267 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("idb").alias("drop_id")).agg(
         F.min("ida").cast("bigint").alias("keep_id"), F.first("cell").alias("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = 8  # subspaces
+_PQ_SUBDIM = _DIM // _PQ_SUB
+_PQ_K = 16  # codes per subspace (4-bit)
+_PQ_SHORTLIST = 64
+_PQ_NQ = 20
+_PQ_ADC_GRID = 1_000_000_000  # 1e-9 ADC lane grid (exact BIGINT lane sums)
+
+
+def _pq_oracle() -> str:
+    """The full PQ pipeline UNROLLED in DuckDB: same codebook training
+    (grid-snapped one-round averaging), same deterministic argmin (join
+    on the min score, then min code id), same integer-grid ADC lanes,
+    same shortlist→re-rank, and matches_exact COMPUTED against the same
+    brute force — so the whole approximate pipeline hash-matches bit for
+    bit rather than gating on perfect recall (the llm_ann_ivf model; PQ
+    through 4-bit codes cannot promise recall 1.0 on a weakly-correlated
+    corpus and the honest check is algorithm equivalence)."""
+    sub, sd, k, nq, sl, grid = (
+        _PQ_SUB, _PQ_SUBDIM, _PQ_K, _PQ_NQ, _PQ_SHORTLIST, _PQ_ADC_GRID
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    subs AS (
+      SELECT vec_id, nrm, g.s,
+             list_slice(v, g.s * {sd} + 1, g.s * {sd} + {sd}) AS sub,
+             CAST(vec_id % {k} AS INTEGER) AS c0
+      FROM en, unnest(range(0, {sub})) AS g(s)
+    ),
+    cex AS (
+      SELECT s, c0, p.i AS pos, sub[p.i] AS val
+      FROM subs, unnest(generate_series(1, {sd})) AS p(i)
+    ),
+    cq AS (
+      SELECT s, c0, pos, CAST(round(avg(val) * 100000) AS BIGINT) AS qv
+      FROM cex GROUP BY s, c0, pos
+    ),
+    cents AS (
+      SELECT s AS cs, c0 AS c, list(qv / 100000.0 ORDER BY pos) AS cent
+      FROM cq GROUP BY s, c0
+    ),
+    assign_sc AS (
+      SELECT su.vec_id, su.s, ct.c,
+             list_dot_product(ct.cent, ct.cent)
+               - 2 * list_dot_product(su.sub, ct.cent) AS score
+      FROM subs su JOIN cents ct ON su.s = ct.cs
+    ),
+    amin AS (SELECT vec_id, s, min(score) AS ms FROM assign_sc GROUP BY 1, 2),
+    codes AS (
+      SELECT a.vec_id, a.s, CAST(min(a.c) AS INTEGER) AS c
+      FROM assign_sc a JOIN amin m
+        ON a.vec_id = m.vec_id AND a.s = m.s AND a.score = m.ms
+      GROUP BY a.vec_id, a.s
+    ),
+    q AS (SELECT vec_id AS qid, v AS qe, nrm AS qnrm FROM en
+          WHERE vec_id < {nq}),
+    qsubs AS (
+      SELECT qid, qnrm, g.s,
+             list_slice(qe, g.s * {sd} + 1, g.s * {sd} + {sd}) AS qsub
+      FROM q, unnest(range(0, {sub})) AS g(s)
+    ),
+    adc AS (
+      SELECT qs.qid, qs.qnrm, qs.s, ct.c,
+             CAST(round(list_dot_product(qs.qsub, ct.cent) * {grid})
+                  AS BIGINT) AS d
+      FROM qsubs qs JOIN cents ct ON qs.s = ct.cs
+    ),
+    approx AS (
+      SELECT a.qid, a.qnrm, co.vec_id AS nid, sum(a.d) AS adot
+      FROM codes co JOIN adc a ON co.s = a.s AND co.c = a.c
+      WHERE co.vec_id <> a.qid GROUP BY 1, 2, 3
+    ),
+    wn AS (
+      SELECT ap.qid, ap.nid,
+             CAST(ap.adot AS DOUBLE) / {grid} / ap.qnrm / e2.nrm AS acos_
+      FROM approx ap JOIN en e2 ON e2.vec_id = ap.nid
+    ),
+    short AS (
+      SELECT qid, nid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY acos_ DESC, nid) AS arn
+        FROM wn
+      ) WHERE arn <= {sl}
+    ),
+    resc AS (
+      SELECT s.qid, s.nid,
+             list_dot_product(q.qe, e2.v) / q.qnrm / e2.nrm AS cos
+      FROM short s JOIN q ON q.qid = s.qid JOIN en e2 ON e2.vec_id = s.nid
+    ),
+    mine AS (
+      SELECT qid, rn, nid, round(cos, 6) AS cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM resc
+      ) WHERE rn <= 3
+    ),
+    bscored AS (
+      SELECT q.qid, e2.vec_id AS nid,
+             list_dot_product(q.qe, e2.v) / q.qnrm / e2.nrm AS cos
+      FROM q JOIN en e2 ON e2.vec_id <> q.qid
+    ),
+    brute AS (
+      SELECT qid, rn, nid AS exact_nid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        FROM bscored
+      ) WHERE rn <= 3
+    )
+    SELECT m.qid, m.rn, m.nid, m.cos, m.nid = b.exact_nid AS matches_exact
+    FROM mine m JOIN brute b ON m.qid = b.qid AND m.rn = b.rn
+    """
+
+
+@query("llm_ann_pq", oracle=_pq_oracle())
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011 shape): the
+    64-dim space splits into 8 subspaces × 16-centroid codebooks (4-bit
+    codes, 8 codes = 4 bytes/vector vs 256 bytes float32 — a 64×
+    compression of the scan at 100 TB), queries score candidates through
+    an asymmetric-distance (ADC) lookup table over the codes, and the
+    PQ shortlist (top-64 per query) is re-ranked with exact float cosine
+    to emit top-3 plus a COMPUTED matches_exact flag against brute force.
+
+    Determinism engineering (what makes an approximate pipeline
+    hash-checkable end to end, §5.3): codebooks come from a vec_id % 16
+    seeding + ONE averaging round with centroids snapped to the 1e-5
+    grid (summation noise ~1e-12); code assignment breaks float-score
+    ties by minimum code id (min-struct aggregate ≡ the oracle's
+    join-on-min-score + min(c)); each ADC lane is rounded to an exact
+    1e-9-grid BIGINT so the per-candidate sum over 8 lanes is INTEGER
+    arithmetic — order-free under any partitioning — and the oracle
+    replays the identical pipeline in SQL. matches_exact is honest
+    measured recall (NOT gated to true): at sf0.01 the 4-bit codes +
+    64-shortlist recover most but not all exact top-3 on this
+    weakly-correlated corpus, and that result is itself hash-verified.
+
+    Scale shape: the codes relation (4 B/vector) is the only full scan;
+    the ADC table (queries × 8 × 16 rows) broadcasts; raw embeddings are
+    touched only for the ≤64-per-query shortlist re-rank and the
+    (per-vector, once) norm precompute. Training is fully declarative —
+    no driver-side model state."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ev = e.select("vec_id", _dbl("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    subs = ev.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUB - 1))).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(v, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub"),
+        (F.col("vec_id") % _PQ_K).cast("int").alias("c0"),
+    )
+    cents = (
+        subs.select("s", "c0", F.posexplode("sub").alias("pos", "val"))
+        .groupBy("s", "c0", "pos")
+        .agg(F.round(F.avg("val") * 100000).cast("long").alias("qv"))
+        .groupBy("s", "c0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "qv"))),
+                lambda st: st["qv"].cast("double") / 100000.0,
+            ).alias("cent")
+        )
+        .select(F.col("s").alias("cs"), F.col("c0").alias("c"), "cent")
+    )
+    scored_assign = subs.join(F.broadcast(cents), F.col("s") == F.col("cs")).select(
+        "vec_id",
+        "s",
+        "c",
+        (
+            _dot(F.col("cent"), F.col("cent"))
+            - 2 * _dot(F.col("sub"), F.col("cent"))
+        ).alias("score"),
+    )
+    codes = (
+        scored_assign.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("score", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("c"))
+    )
+    qs = ev.where(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    qsubs = qs.select(
+        "qid",
+        "qnrm",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUB - 1))).alias("s"),
+        "qe",
+    ).select(
+        "qid",
+        "qnrm",
+        "s",
+        F.expr(f"slice(qe, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("qsub"),
+    )
+    adc = qsubs.join(F.broadcast(cents), F.col("s") == F.col("cs")).select(
+        "qid",
+        "qnrm",
+        "s",
+        "c",
+        F.round(_dot(F.col("qsub"), F.col("cent")) * _PQ_ADC_GRID)
+        .cast("long")
+        .alias("d"),
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["s", "c"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "qnrm", F.col("vec_id").alias("nid"))
+        .agg(F.sum("d").alias("adot"))
+    )
+    with_nrm = approx.join(
+        ev.select(F.col("vec_id").alias("nid"), F.col("nrm").alias("nnrm")), "nid"
+    ).select(
+        "qid",
+        "nid",
+        (F.col("adot").cast("double") / _PQ_ADC_GRID / F.col("qnrm") / F.col("nnrm")).alias(
+            "acos_"
+        ),
+    )
+    wS = Window.partitionBy("qid").orderBy(F.col("acos_").desc(), "nid")
+    shortlist = with_nrm.withColumn("arn", F.row_number().over(wS)).where(
+        F.col("arn") <= _PQ_SHORTLIST
+    )
+    rescored = (
+        shortlist.join(
+            ev.select(
+                F.col("vec_id").alias("nid"),
+                F.col("v").alias("ne"),
+                F.col("nrm").alias("nnrm"),
+            ),
+            "nid",
+        )
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qe"), F.col("ne")) / F.col("qnrm") / F.col("nnrm")).alias(
+                "cos"
+            ),
+        )
+    )
+    w3 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    mine = (
+        rescored.withColumn("rn", F.row_number().over(w3))
+        .where(F.col("rn") <= 3)
+        .select("qid", "rn", "nid", F.round("cos", 6).alias("cos"))
+    )
+    exact = llm_ann_brute(spark, sf_dir).select(
+        "qid", "rn", F.col("nid").alias("exact_nid")
+    )
+    return mine.join(exact, ["qid", "rn"]).select(
+        "qid",
+        "rn",
+        "nid",
+        "cos",
+        (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
+    )
