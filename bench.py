@@ -50,6 +50,9 @@ EXTRA = [
     "llm_kmeans_lloyd",
     "llm_substring_dedup",
     "join_waiting_orders",
+    # late-r03 additions, timed for the record
+    "llm_block_dedup",
+    "llm_ann_pq",
 ]
 
 

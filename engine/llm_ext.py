@@ -426,3 +426,187 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > F.col("t") * 0.005)
         .select("term", "n", (F.col("n").cast("double") / F.col("t")).alias("share"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training (declarative, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_oracle(iters: int = _BPE_MERGES) -> str:
+    """The BPE trainer unrolled as a DuckDB CTE chain (the kmeans_cte
+    pattern): per round, pair counting → deterministic best-pair pick
+    (count DESC, then lexicographic) → greedy left-to-right merge via the
+    even-offset-in-island rule → position renumbering."""
+    parts = [
+        """
+    toks AS (
+      SELECT t.tok AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE text <> '' AND t.tok <> '' GROUP BY 1
+    ),
+    sym0 AS (
+      SELECT word, freq, CAST(g.i AS BIGINT) AS pos,
+             CASE WHEN g.i <= length(word) THEN substr(word, CAST(g.i AS INTEGER), 1)
+                  ELSE '</w>' END AS sym
+      FROM toks, unnest(generate_series(1, length(word) + 1)) AS g(i)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""
+    nx{i} AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nx
+      FROM sym{p}
+    ),
+    pairs{i} AS (
+      SELECT sym AS l, nx AS r, sum(freq) AS cnt
+      FROM nx{i} WHERE nx IS NOT NULL GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pairs{i}
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    m{i} AS (
+      SELECT n.word, n.freq, n.pos, n.sym,
+             (n.sym = b.l AND n.nx = b.r) AS is_match
+      FROM nx{i} n CROSS JOIN best{i} b
+    ),
+    isl{i} AS (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM m{i} WHERE is_match
+    ),
+    starts{i} AS (
+      SELECT word, pos,
+             (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0 AS is_start
+      FROM isl{i}
+    ),
+    full{i} AS (
+      SELECT m.word, m.freq, m.pos, m.sym,
+             COALESCE(s.is_start, FALSE) AS is_start
+      FROM m{i} m LEFT JOIN starts{i} s
+        ON m.word = s.word AND m.pos = s.pos
+    ),
+    sym{i} AS (
+      SELECT word, freq,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+                  AS BIGINT) AS pos,
+             CASE WHEN is_start THEN sym ||
+               (SELECT r FROM best{i}) ELSE sym END AS sym
+      FROM (
+        SELECT f.*,
+               lag(is_start) OVER (PARTITION BY word ORDER BY pos) AS prev_start
+        FROM full{i} f
+      ) WHERE COALESCE(prev_start, FALSE) = FALSE
+    )""")
+    sel = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym, cnt"
+        f" AS pair_count FROM best{i}"
+        for i in range(1, iters + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n    {sel}"
+
+
+@query("llm_bpe_train", oracle=_bpe_oracle())
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TRAINING as pure DataFrame ops (Sennrich et al.
+    2016 shape): 3 merge rounds, each = corpus pair-count → deterministic
+    best-pair pick (count DESC, lexicographic tie-break) → greedy
+    left-to-right merge — with the DuckDB oracle unrolling the identical
+    rounds, so tokenizer training itself sits under the full hash gate.
+
+    The merge step is the subtle part: BPE merges non-overlapping
+    occurrences LEFT TO RIGHT, a sequential dependency parallelized here
+    with the even-offset-in-island rule — consecutive matching positions
+    (only possible when left==right, e.g. pair (a,a) in "aaaa") form an
+    island via the pos − row_number trick, and greedy picks exactly the
+    even offsets from each island's start. Both engines share the rule,
+    so merges are bit-identical.
+
+    Scale shape: the corpus is touched ONCE (token explode → word-freq
+    aggregate); every training round then operates on the DISTINCT-WORD
+    symbol table (vocab-sized, ~|V|·avg_len rows — KBs here, MBs at
+    100 TB since vocabulary grows ~log corpus), exactly how production
+    BPE trainers exploit word-frequency compression. Per round: one
+    vocab-sized window pass, a 1-row global top-1 (TakeOrdered, no full
+    sort), one broadcast of that row, two more vocab-sized windows.
+    Driver never sees data; the 3-round loop is Python only in plan
+    construction (the llm_kmeans_lloyd pattern)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        d.where(F.col("text") != "")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = toks.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "concat(transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1)), array('</w>'))"
+            )
+        ).alias("pos0", "sym"),
+    ).select("word", "freq", (F.col("pos0") + 1).cast("long").alias("pos"), "sym")
+
+    w = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for i in range(1, _BPE_MERGES + 1):
+        nx = sym.withColumn("nx", F.lead("sym").over(w))
+        pairs = (
+            nx.where(F.col("nx").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nx").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1)
+        merges.append(
+            best.select(
+                F.lit(i).cast("long").alias("step"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        m = nx.crossJoin(F.broadcast(best)).withColumn(
+            "is_match", (F.col("sym") == F.col("l")) & (F.col("nx") == F.col("r"))
+        )
+        isl = (
+            m.where("is_match")
+            .select("word", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp"))
+        )
+        wg = Window.partitionBy("word", "grp")
+        starts = isl.select(
+            "word",
+            "pos",
+            (((F.col("pos") - F.min("pos").over(wg)) % 2) == 0).alias("is_start"),
+        )
+        full = m.join(starts, ["word", "pos"], "left").select(
+            "word",
+            "freq",
+            "pos",
+            "sym",
+            "r",
+            F.coalesce("is_start", F.lit(False)).alias("is_start"),
+        )
+        sym = (
+            full.withColumn("prev_start", F.lag("is_start").over(w))
+            .where(F.coalesce("prev_start", F.lit(False)) == False)  # noqa: E712
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(w).cast("long").alias("pos"),
+                F.when(F.col("is_start"), F.concat("sym", "r"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionAll(mdf)
+    return out
