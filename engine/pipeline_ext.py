@@ -733,3 +733,131 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) >= 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.blk,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join with equality blocking: candidate pairs must share
+    a cheap blocking key (the trailing noun token) BEFORE the expensive
+    edit-distance verify runs — the entity-resolution topology that keeps
+    a fuzzy join from going quadratic.
+
+    At 100 TB this is the only viable shape: a naive θ-join on
+    levenshtein is O(n²) with no pushdown, while blocking turns it into
+    an equi-shuffle (hash-partitioned on the block key, each block
+    verified independently) with per-block cost bounded by block size —
+    skewed blocks get the same salting treatment as any hot join key
+    (join_skew_salted). The verify predicate is evaluated post-join by
+    codegen'd JVM levenshtein; pairs are canonicalized name_a < name_b so
+    output is deterministic and half-sized."""
+    p = load_tables(spark, sf_dir)["part"]
+    keyed = p.select("p_name").distinct().select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a = keyed.select(F.col("p_name").alias("name_a"), "blk")
+    b = keyed.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .where(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "name_a",
+            "name_b",
+            "blk",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rfm",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx_us FROM events),
+    base AS (
+      SELECT user_id,
+             CAST((mx.mx_us - max(epoch_us(CAST(ts AS TIMESTAMP))))
+                  // 86400000000 AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS monetary_cents
+      FROM events, mx GROUP BY user_id, mx.mx_us
+    )
+    SELECT user_id, recency_days, frequency,
+           CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m
+    FROM base
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: one
+    pass over events builds the per-user base metrics (integer day
+    recency against the corpus max, exact count, exact-cents monetary),
+    then three ntile(4) windows assign quartile scores 1-4 (1 = best).
+
+    Every ntile orders by (metric, user_id) — a TOTAL order, which is
+    what makes ntile deterministic (win_percent_rank's rule). The base
+    aggregate is map-side combined on user_id; the three global windows
+    run over the per-user relation (|users| rows, not events), which is
+    the part that survives scale — at 10⁹ users a single-partition
+    global ntile would bottleneck, and the documented fix is
+    range-partitioned rank arithmetic (rank-1 via ordered stats) rather
+    than a different metric definition. The corpus max timestamp is a
+    1-row broadcast."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.expr("ts_ns div 1000").alias("us"), "value"
+    )
+    mx = e.agg(F.max("us").alias("mx_us"))
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.floor((F.col("mx_us") - F.col("last_us")) / 86_400_000_000).cast(
+                "long"
+            ).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / 100).alias("monetary"),
+        F.ntile(4).over(wr).cast("long").alias("r"),
+        F.ntile(4).over(wf).cast("long").alias("f"),
+        F.ntile(4).over(wm).cast("long").alias("m"),
+    )
