@@ -537,6 +537,18 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver never sees data; the 3-round loop is Python only in plan
     construction (the llm_kmeans_lloyd pattern)."""
     d = load_tables(spark, sf_dir)["documents"]
+    merges, _ = _bpe_fit(load_tables(spark, sf_dir)["documents"])
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionAll(mdf)
+    return out
+
+
+def _bpe_fit(d: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The llm_bpe_train loop, shared with llm_bpe_apply: returns
+    (per-round merge rows, FINAL vocab symbol table) — the final table is
+    the trained tokenizer already applied to every distinct word, which
+    is what apply-side encoding joins against."""
     toks = (
         d.where(F.col("text") != "")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -606,7 +618,69 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sym"),
             )
         )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionAll(mdf)
-    return out
+    return merges, sym
+
+
+def _bpe_apply_oracle(iters: int = _BPE_MERGES) -> str:
+    """llm_bpe_apply's oracle: the training CTE chain (same unroll as
+    llm_bpe_train) plus a per-doc join of the final symbol counts."""
+    train = _bpe_oracle(iters)
+    body = train[: train.index("\n    SELECT CAST(1 AS BIGINT) AS step")]
+    return (
+        body
+        + f""",
+    nsym AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS k FROM sym{iters} GROUP BY 1
+    ),
+    docw AS (
+      SELECT doc_id, t.tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE text <> '' AND t.tok <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * k) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(cnt * k) AS DOUBLE) / sum(cnt) AS tokens_per_word
+    FROM docw JOIN nsym USING (word) GROUP BY doc_id"""
+    )
+
+
+@query("llm_bpe_apply", oracle=_bpe_apply_oracle())
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the tokenizer llm_bpe_train just learned:
+    per-document BPE token counts plus the tokens-per-word compression
+    ratio a data pipeline actually reports.
+
+    The scale trick: encoding never touches document text beyond one
+    token explode — merges are applied to the DISTINCT-WORD symbol table
+    inside _bpe_fit (vocab-sized), each word's final symbol count is a
+    vocab-sized aggregate, and per-doc totals come from joining that tiny
+    table back to (doc, word, count) with a broadcast — the corpus never
+    re-shuffles on content. tokens_per_word is int/int, bit-identical
+    across engines. Oracle = the training unroll + the same per-doc
+    join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    _, sym = _bpe_fit(d)
+    nsym = sym.groupBy("word").agg(F.count("*").cast("long").alias("k"))
+    docw = (
+        d.where(F.col("text") != "")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        docw.join(F.broadcast(nsym), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("k")).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+        )
+    )

@@ -861,3 +861,153 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("long").alias("f"),
         F.ntile(4).over(wm).cast("long").alias("m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024  # columns
+_CMS_D = 4  # rows (md5 hex-slice hash family)
+
+
+def _cms_cols_sql(col: str) -> list[str]:
+    # four disjoint 7-hex-digit (28-bit) slices of md5, each mod w
+    return [
+        f"({_hex_slice_int_sql(col, 1 + 7 * j, 7)} % {_CMS_W})" for j in range(_CMS_D)
+    ]
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.tok AS term FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE text <> '' AND t.tok <> ''
+    ), tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_n, md5(term) AS h
+      FROM tok GROUP BY term
+    ), cells AS (
+      SELECT g.j AS rw,
+             CASE g.j {" ".join(f"WHEN {j} THEN {c}" for j, c in enumerate(_cms_cols_sql("h")))} END AS col,
+             sum(exact_n) AS v
+      FROM tf, unnest(range(0, {_CMS_D})) AS g(j)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT term, exact_n, h FROM (
+        SELECT *, row_number() OVER (ORDER BY exact_n DESC, term) AS rk FROM tf
+      ) WHERE rk <= 20
+    ), est AS (
+      SELECT p.term, p.exact_n, CAST(min(c.v) AS BIGINT) AS est_n
+      FROM probes p, unnest(range(0, {_CMS_D})) AS g(j)
+      JOIN cells c ON c.rw = g.j
+       AND c.col = CASE g.j {" ".join(f"WHEN {j} THEN {c}" for j, c in enumerate(_cms_cols_sql("p.h")))} END
+      GROUP BY 1, 2
+    )
+    SELECT term, exact_n, est_n, est_n - exact_n AS overcount FROM est
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term-frequency estimation (Cormode & Muthu 2005):
+    a d=4 × w=1024 counter grid — FIXED size regardless of corpus — built
+    as a groupBy aggregate, probed for the top-20 exact terms, emitting
+    est vs exact with the structural overcount column (CMS never
+    undercounts: est ≥ exact by construction, asserted in the property
+    suite and implied by the hash gate since the oracle derives the same
+    cells).
+
+    Scale shape: term counts pre-aggregate FIRST (vocab-sized, map-side
+    combined), the sketch builds from (term, count) — 4 cells per
+    DISTINCT term, not per occurrence — and collapses to ≤4096 cells
+    that would broadcast anywhere. Hash family = md5 hex slices (28-bit
+    lanes mod w), exactly reproducible in DuckDB; the production swap is
+    xxhash64 like every hash twin in this repo."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        d.where(F.col("text") != "")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .withColumn("h", F.md5("term"))
+    )
+    col_exprs = [
+        (F.conv(F.substring("h", 1 + 7 * j, 7), 16, 10).cast("long") % _CMS_W)
+        for j in range(_CMS_D)
+    ]
+    cells = (
+        tf.select(
+            "exact_n",
+            F.posexplode(F.array(*col_exprs)).alias("rw", "col"),
+        )
+        .groupBy("rw", "col")
+        .agg(F.sum("exact_n").alias("v"))
+    )
+    wtop = Window.orderBy(F.col("exact_n").desc(), "term")
+    probes = (
+        tf.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 20)
+        .select("term", "exact_n", F.posexplode(F.array(*col_exprs)).alias("rw", "col"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["rw", "col"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("v").cast("long").alias("est_n"))
+        .select("term", "exact_n", "est_n", (F.col("est_n") - F.col("exact_n")).alias("overcount"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS to_type
+      FROM e
+    ), counted AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+    FROM counted
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count (state → next state) transitions, normalize per from-state —
+    the behavioral-model fit that feeds simulation and anomaly scoring.
+
+    One shuffle on user_id for the lead() window, then a
+    map-side-combined count into a |types|² relation; the probability is
+    a ratio of identical integers computed over that tiny aggregate
+    (window input is ≤25 rows), bit-identical across engines. At scale
+    the user_id exchange is the only data-sized cost and AQE handles the
+    hot-user skew the fixture deliberately carries."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )

@@ -174,3 +174,32 @@ def test_chunk_overlap_reconstructs_corpus(spark, sf_dir):
         .count()
     )
     assert diff == 0, f"{diff} documents not reconstructed from their chunks"
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min sketch structural guarantee: est ≥ exact for every
+    probe (collisions only ADD), and the estimate of the single most
+    frequent term should be exact or near-exact at this sketch width."""
+    out = registry.QUERIES["agg_count_min_sketch"](spark, sf_dir)
+    assert out.where(F.col("overcount") < 0).count() == 0
+
+
+def test_markov_rows_sum_to_one(spark, sf_dir):
+    """Each from-state's outgoing probabilities must sum to 1 (within
+    float addition noise of the ≤5 addends)."""
+    out = registry.QUERIES["events_markov_transitions"](spark, sf_dir)
+    rows = out.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    for r in rows:
+        assert abs(r.s - 1.0) < 1e-9, f"{r.from_type} sums to {r.s}"
+
+
+def test_bpe_apply_consistent_with_train(spark, sf_dir):
+    """Tokens-per-word must be ≥ 1/word... strictly: every word encodes
+    to at least 1 symbol and at most chars+1, so the per-doc ratio lies
+    in [1, max_word_len + 1]; and merges can only SHRINK symbol counts
+    vs the char baseline (chars + 1 per word)."""
+    out = registry.QUERIES["llm_bpe_apply"](spark, sf_dir)
+    bad = out.where(
+        (F.col("tokens_per_word") < 1.0) | (F.col("n_bpe_tokens") < F.col("n_words"))
+    ).count()
+    assert bad == 0
