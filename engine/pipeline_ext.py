@@ -1011,3 +1011,168 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (truncated, fixed-tree)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 7  # truncation depth (weights below (1-a)^7 ≈ 0.08 dropped)
+
+
+@query(
+    "win_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dd,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, dd, cnt,
+             {", ".join(f"lag(cnt, {j}) OVER w AS x{j}" for j in range(_EWMA_LAGS))},
+             row_number() OVER w AS rn
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY dd)
+    )
+    SELECT event_type, dd, cnt,
+           ({" + ".join(f"CAST(x{j} AS DOUBLE) * {_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j!r}" for j in range(_EWMA_LAGS))})
+             / {sum(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_LAGS))!r}
+             AS ewma
+    FROM lagged WHERE rn > {_EWMA_LAGS - 1}
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event counts,
+    truncated at 7 lags (dropped tail weight < 8%) — the smoothing
+    primitive for dashboards and the anomaly detector's robust sibling.
+
+    True EWMA is a recurrence (sequential dependency); the truncated form
+    is a FIXED linear combination of 7 lag columns, which keeps it a pure
+    window expression — parallel over (event_type) partitions, one
+    exchange, and deterministic: the weights are compile-time constants
+    and the summation tree is written identically in both engines
+    (left-fold over j), so the doubles are bit-identical with integer
+    lag inputs. Rows without a full lag window are excluded rather than
+    renormalized (exactness over coverage; the renormalizing variant is
+    a one-line weight-sum change)."""
+    e = load_tables(spark, sf_dir)["events"]
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("dd"),
+        )
+        .groupBy("event_type", "dd")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("dd")
+    lagged = daily.select(
+        "event_type",
+        "dd",
+        "cnt",
+        *[F.lag("cnt", j).over(w).alias(f"x{j}") for j in range(_EWMA_LAGS)],
+        F.row_number().over(w).alias("rn"),
+    )
+    num = F.col("x0").cast("double") * _EWMA_ALPHA
+    for j in range(1, _EWMA_LAGS):
+        num = num + F.col(f"x{j}").cast("double") * (
+            _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j
+        )
+    den = sum(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_LAGS))
+    return lagged.where(F.col("rn") > _EWMA_LAGS - 1).select(
+        "event_type", "dd", "cnt", (num / den).alias("ewma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_welch",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / 100 / n AS mean,
+             (CAST(s2 AS DOUBLE) / 10000
+               - (CAST(s1 AS DOUBLE) / 100) * (CAST(s1 AS DOUBLE) / 100) / n)
+               / (n - 1) AS var
+      FROM g
+    ), a AS (SELECT * FROM stats WHERE event_type = 'purchase'),
+       b AS (SELECT * FROM stats WHERE event_type = 'click')
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+           (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+             / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                + (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS dof
+    FROM a, b
+    """,
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test comparing the value distributions of
+    'purchase' vs 'click' events — the A/B-testing primitive run over the
+    raw event stream, no sampling.
+
+    Group moments come from EXACT integer-cents partials (Σ cents,
+    Σ cents² as BIGINTs — map-side combinable, order-free at any
+    partitioning); mean, Welch t, and the Welch–Satterthwaite dof are
+    then fixed expression trees over those integers, so the output
+    doubles are bit-identical across engines with NO rounding grid. One
+    2-group aggregate over a scan-pushed filter; the t-test itself is a
+    1-row cross of two 1-row frames."""
+    e = load_tables(spark, sf_dir)["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    g = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents).alias("s2"),
+        )
+    )
+    stats = g.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / 100 / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double") / 10000
+                - (F.col("s1").cast("double") / 100)
+                * (F.col("s1").cast("double") / 100)
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = stats.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("va")
+    )
+    b = stats.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("vb")
+    )
+    sa = F.col("va") / F.col("n_a")
+    sb = F.col("vb") / F.col("n_b")
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)).alias("t_stat"),
+        (
+            (sa + sb) * (sa + sb)
+            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1))
+        ).alias("dof"),
+    )
