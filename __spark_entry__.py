@@ -91,6 +91,26 @@ _NEW_R03 = [
     "llm_dataset_card",
     "events_cohort_matrix",
     "join_scd2_lookup",
+    # late-r03 additions (pipeline_ext/BPE/PQ/CMS): same rule — they
+    # queue behind the r1/r2 keys that have waited longer for a driver row
+    "llm_chunk_overlap",
+    "llm_block_dedup",
+    "llm_bloom_dedup",
+    "join_star_schema",
+    "agg_multi_distinct",
+    "events_path_topk",
+    "win_gap_islands",
+    "events_window_funnel",
+    "events_anomaly_zscore",
+    "llm_ann_pq",
+    "llm_bpe_train",
+    "llm_bpe_apply",
+    "join_fuzzy_blocked",
+    "events_rfm",
+    "agg_count_min_sketch",
+    "events_markov_transitions",
+    "win_ewma",
+    "events_ab_welch",
 ]
 
 # The similarity family has the most novel code and zero driver rows
