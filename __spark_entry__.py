@@ -111,6 +111,9 @@ _NEW_R03 = [
     "events_markov_transitions",
     "win_ewma",
     "events_ab_welch",
+    "dq_referential_integrity",
+    "dq_null_profile",
+    "dq_accepted_values",
 ]
 
 # The similarity family has the most novel code and zero driver rows

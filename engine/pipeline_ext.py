@@ -1176,3 +1176,187 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1))
         ).alias("dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the dbt-style `relationships` test,
+    run as a query): orphan counts for every fact→dim foreign key, in one
+    pass per key.
+
+    Each check is a LEFT join counted with a conditional aggregate —
+    Catalyst broadcasts the dim side (orders⋈customer, lineitem⋈part/
+    supplier) so the fact table streams through probe-count without
+    shuffling; the lineitem⋈orders pair is the one genuine large⋈large
+    (sort-merge at scale), identical physics to cdc_snapshot_diff. A DQ
+    gate at 100 TB must NOT materialize violations — counting inside the
+    join avoids ever collecting orphan rows; sampled examples are a
+    LIMIT-k follow-up query on demand."""
+    t = load_tables(spark, sf_dir)
+
+    def check(fact: DataFrame, fkey: str, dim: DataFrame, dkey: str, name: str,
+              bcast: bool) -> DataFrame:
+        d = F.broadcast(dim.select(dkey)) if bcast else dim.select(dkey)
+        return (
+            fact.select(fkey)
+            .join(d, fact[fkey] == dim[dkey], "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count("*").alias("n_rows"),
+                F.count(F.when(F.col(dkey).isNull(), 1)).alias("n_orphans"),
+            )
+            .select("fk", "n_rows", "n_orphans")
+        )
+
+    return (
+        check(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+              "lineitem.l_orderkey->orders", False)
+        .unionAll(check(t["lineitem"], "l_partkey", t["part"], "p_partkey",
+                        "lineitem.l_partkey->part", True))
+        .unionAll(check(t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey",
+                        "lineitem.l_suppkey->supplier", True))
+        .unionAll(check(t["orders"], "o_custkey", t["customer"], "c_custkey",
+                        "orders.o_custkey->customer", True))
+    )
+
+
+@query(
+    "dq_null_profile",
+    oracle="""
+    SELECT 'orders' AS tbl, col, CAST(n AS BIGINT) AS n,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM (
+      SELECT 'o_orderstatus' AS col, count(*) AS n,
+             count(*) - count(o_orderstatus) AS n_null,
+             count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             count(DISTINCT o_custkey) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+             count(DISTINCT o_totalprice) FROM orders
+    )
+    """,
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling audit (null counts + distinct cardinality) for
+    the orders table — the per-ingest data-quality report that catches a
+    silently-nulled column before it poisons downstream joins.
+
+    All four columns profile in ONE aggregate pass over one scan (Spark
+    computes the count/count(col)/countDistinct set per column in a
+    single Aggregate via Expand — contrast with running N profile
+    queries = N scans at 100 TB); the result unpivots to the
+    (table, column) report shape. Exact distinct is deliberate here
+    (profiling wants truth); the approx_count_distinct twin is the
+    dashboard variant."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    agg = o.agg(
+        F.count("*").alias("n"),
+        *[
+            a
+            for c in cols
+            for a in (
+                (F.count("*") - F.count(c)).alias(f"null_{c}"),
+                F.countDistinct(c).alias(f"dist_{c}"),
+            )
+        ],
+    )
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return agg.select(
+        F.lit("orders").alias("tbl"),
+        F.expr(f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct)"),
+        F.col("n"),
+    ).select("tbl", "col", "n", F.col("n_null").cast("long").alias("n_null"),
+             F.col("n_distinct").cast("long").alias("n_distinct"))
+
+
+@query(
+    "dq_accepted_values",
+    oracle="""
+    SELECT 'o_orderpriority in set' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+             AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus in set', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+             AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'l_discount in [0,1]', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+             AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity > 0', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accepted-values / range constraints (dbt `accepted_values` +
+    bound checks) as conditional aggregates: domain membership for the
+    categorical columns, range sanity for the numeric ones — violations
+    are COUNTED scan-side, never materialized.
+
+    Each check is count + count_if over one scan; the two orders checks
+    share a scan, the two lineitem checks share a scan (Catalyst fuses
+    conditional aggregates over the same source). At 100 TB this is the
+    cheapest possible audit shape: no shuffle beyond the 1-row partials,
+    and the NOT-IN lists are literals compiled into codegen, not a
+    join."""
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+
+    def chk(df: DataFrame, name: str, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_checked"),
+            F.count(F.when(viol, 1)).alias("n_violations"),
+        ).select("check_name", "n_checked", "n_violations")
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        chk(o, "o_orderpriority in set", ~F.col("o_orderpriority").isin(prios))
+        .unionAll(chk(o, "o_orderstatus in set",
+                      ~F.col("o_orderstatus").isin("O", "F", "P")))
+        .unionAll(chk(li, "l_discount in [0,1]",
+                      (F.col("l_discount") < 0) | (F.col("l_discount") > 1)))
+        .unionAll(chk(li, "l_quantity > 0", F.col("l_quantity") <= 0))
+    )
