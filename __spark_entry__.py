@@ -114,6 +114,7 @@ _NEW_R03 = [
     "dq_referential_integrity",
     "dq_null_profile",
     "dq_accepted_values",
+    "cdc_join_ivm",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -1360,3 +1360,60 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("l_discount") < 0) | (F.col("l_discount") > 1)))
         .unionAll(chk(li, "l_quantity > 0", F.col("l_quantity") <= 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_join_ivm",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cdc_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta-join
+    identity): with orders = A ∪ ΔA and customer = B ∪ ΔB, the refreshed
+    view is computed as  A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB  — never by
+    re-joining the full tables — and the oracle computes the PLAIN full
+    join, so the hash gate proves the IVM identity end to end (the
+    agg_incremental_view pattern, extended from aggregates to joins).
+
+    The split is deterministic (orderkey % 20 / custkey % 10 model a 5% /
+    10% incremental batch). Scale shape: the three delta terms join a
+    SMALL delta against a big base — each ΔA/ΔB side is broadcast, so
+    refresh cost is O(|Δ|·fanout) probe work instead of a full A⋈B
+    shuffle; the stored-view term (A⋈B) is read from the materialization
+    in production and only recomputed here because the fixture has no
+    state store. Exact-cents revenue keeps the union-of-terms aggregate
+    bit-identical to the monolithic plan at any partitioning."""
+    t = load_tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    A = o.where(F.col("o_orderkey") % 20 != 0)
+    dA = o.where(F.col("o_orderkey") % 20 == 0)
+    B = c.where(F.col("c_custkey") % 10 != 0)
+    dB = c.where(F.col("c_custkey") % 10 == 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    cols = ["c_mktsegment", "o_orderpriority", "o_totalprice"]
+    view = (
+        A.join(B, on).select(*cols)
+        .unionAll(F.broadcast(dA).join(B, on).select(*cols))
+        .unionAll(A.join(F.broadcast(dB), on).select(*cols))
+        .unionAll(F.broadcast(dA).join(dB, on).select(*cols))
+    )
+    return view.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100
+        ).alias("revenue"),
+    )
