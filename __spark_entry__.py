@@ -115,6 +115,8 @@ _NEW_R03 = [
     "dq_null_profile",
     "dq_accepted_values",
     "cdc_join_ivm",
+    "llm_shard_assignment",
+    "events_cuped",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -1417,3 +1417,169 @@ def cdc_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training shard assignment (size-balanced)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "llm_shard_assignment",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE text <> ''
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                  % {_N_SHARDS} AS BIGINT) AS shard
+      FROM sized
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM ranked GROUP BY shard
+    """,
+)
+def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training-shard assignment: documents sort by token
+    count (desc, doc_id tie-break) and deal round-robin into 8 shards —
+    the longest-processing-time-first heuristic that bounds shard
+    imbalance by the largest document, so no training worker stalls on a
+    fat shard.
+
+    Output is the per-shard manifest (doc count + token total) the
+    training launcher reads. The global row_number is the honest scale
+    caveat (single-partition window over |docs| rows of 16 bytes each —
+    fine to ~10⁸ docs, then switch to range-partitioned ranking: compute
+    per-partition counts, prefix-sum them on the driver, and offset local
+    row_numbers — the same plan sort_multikey_nulls documents). The
+    property suite asserts the balance guarantee: max shard minus min
+    shard ≤ the largest document's tokens."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sized = d.where(F.col("text") != "").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    ranked = sized.select(
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("long").alias("shard"),
+    )
+    return ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cuped",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(epoch_us(CAST(min(ts) AS TIMESTAMP))
+                  + 21 * 86400000000 AS BIGINT) AS cut_us
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'click'
+                    AND epoch_us(CAST(ts AS TIMESTAMP)) < cut.cut_us)
+                  AS BIGINT) AS x,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE event_type = 'purchase'
+                    AND epoch_us(CAST(ts AS TIMESTAMP)) >= cut.cut_us) AS yc
+      FROM events, cut GROUP BY user_id, cut.cut_us
+    ), b AS (
+      SELECT user_id, x, COALESCE(yc, 0) AS yc FROM per_user
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(yc) AS BIGINT) AS sy,
+             CAST(sum(x * yc) AS BIGINT) AS sxy,
+             CAST(sum(yc * yc) AS BIGINT) AS syy
+      FROM b
+    )
+    SELECT n,
+           CAST(sy AS DOUBLE) / 100 / n AS mean_y,
+           (CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
+              * (CAST(sy AS DOUBLE) / 100) / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE) / n) AS theta,
+           1.0 - ((CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
+                     * (CAST(sy AS DOUBLE) / 100) / n)
+                  * (CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
+                       * (CAST(sy AS DOUBLE) / 100) / n))
+               / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / n)
+                  * (CAST(syy AS DOUBLE) / 10000 - (CAST(sy AS DOUBLE) / 100)
+                       * (CAST(sy AS DOUBLE) / 100) / n)) AS var_ratio
+    FROM mom
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): regress the
+    experiment-period metric (purchase cents, days ≥21) on the
+    pre-period covariate (click count, days <21) per user; emit θ =
+    cov(x,y)/var(x) and the residual-variance ratio 1 − ρ² — the factor
+    by which a CUPED-adjusted A/B test shrinks its confidence intervals
+    for free.
+
+    All five moments (Σx, Σx², Σy, Σxy, Σy²) are EXACT integer partials
+    over one user-level aggregate (conditional sums split pre/post by an
+    integer-µs cutoff), so θ and the ratio are fixed expression trees on
+    exact integers — bit-identical across engines and partitionings with
+    no rounding. The corpus-wide min(ts) anchor is a 1-row broadcast.
+    One events scan, one user_id groupBy, one 1-row moment fold."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us"), "value"
+    )
+    cut = e.agg(
+        (F.min("us") + F.lit(21 * 86_400_000_000)).alias("cut_us")
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    b = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when((F.col("event_type") == "click") & (F.col("us") < F.col("cut_us")), 1)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("us") >= F.col("cut_us")),
+                        cents,
+                    )
+                ),
+                F.lit(0),
+            ).alias("yc"),
+        )
+    )
+    mom = b.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    dn = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") / 100 - sx * (sy / 100) / dn
+    varx = F.col("sxx").cast("double") - sx * sx / dn
+    vary = F.col("syy").cast("double") / 10000 - (sy / 100) * (sy / 100) / dn
+    return mom.select(
+        "n",
+        (sy / 100 / dn).alias("mean_y"),
+        (cov / varx).alias("theta"),
+        (F.lit(1.0) - (cov * cov) / (varx * vary)).alias("var_ratio"),
+    )

@@ -370,3 +370,20 @@ def test_path_topk_shares_user_exchange(spark, sf_dir):
     s = _plan(spark, "events_path_topk", sf_dir)
     n = len(set(re.findall(r"\(\d+\) Exchange", s)))
     assert n <= 3, f"expected ≤3 Exchanges (user window reused), got {n}"
+
+
+def test_bloom_dedup_broadcasts_filter(spark, sf_dir):
+    """llm_bloom_dedup: the packed bloom words and the historical hash
+    set must BROADCAST to the probe side — a shuffle join against either
+    would defeat the incremental-dedup pattern."""
+    s = _plan(spark, "llm_bloom_dedup", sf_dir)
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in s
+
+
+def test_join_ivm_broadcasts_deltas(spark, sf_dir):
+    """cdc_join_ivm: the three delta terms must join via broadcast (the
+    refresh-cost argument); no cartesian anywhere."""
+    s = _plan(spark, "cdc_join_ivm", sf_dir)
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s

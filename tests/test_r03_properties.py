@@ -203,3 +203,20 @@ def test_bpe_apply_consistent_with_train(spark, sf_dir):
         (F.col("tokens_per_word") < 1.0) | (F.col("n_bpe_tokens") < F.col("n_words"))
     ).count()
     assert bad == 0
+
+
+def test_shard_assignment_balanced(spark, sf_dir):
+    """LPT round-robin guarantee: the token spread between the heaviest
+    and lightest shard is bounded by the single largest document."""
+    from engine.io import load_tables
+
+    out = registry.QUERIES["llm_shard_assignment"](spark, sf_dir).collect()
+    toks = [r.shard_tokens for r in out]
+    d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
+    max_doc = d.agg(
+        F.max(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert len(out) == 8
+    assert max(toks) - min(toks) <= max_doc, (
+        f"shard imbalance {max(toks) - min(toks)} exceeds largest doc {max_doc}"
+    )
