@@ -117,6 +117,7 @@ _NEW_R03 = [
     "cdc_join_ivm",
     "llm_shard_assignment",
     "events_cuped",
+    "stream_join_ivm",
 ]
 
 # The similarity family has the most novel code and zero driver rows

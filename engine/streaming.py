@@ -765,3 +765,66 @@ def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_to_memory(out, "append")
     return res.where(F.col("user_id") < 999_000).localCheckpoint(eager=True)
+
+
+@query(
+    "stream_join_ivm",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100 AS revenue
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental maintenance of an AGGREGATED JOIN VIEW
+    (revenue by market segment from purchases ⋈ customer): each
+    micro-batch computes its own deterministic partial (batch ⋈ broadcast
+    dim → segment aggregate of exact cents) and INSERT-OVERWRITES it
+    under its batch id; the view is the re-aggregation of batch partials.
+
+    This is the production exactly-once pattern for additive views:
+    overwrite-by-batch-id makes replayed batches IDEMPOTENT (a retried
+    batch rewrites the same partial, never double-counts), decomposable
+    partials make the refresh cost O(|batch|) probe work against the
+    broadcast dim — the streaming twin of cdc_join_ivm's delta-join
+    identity, with the batch sequence as the delta stream. Final view ≡
+    the batch join+aggregate over all events (the oracle), which is
+    Structured Streaming's equivalence guarantee applied through the
+    foreachBatch escape hatch."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    part_dir = io_tmpdir("engine_ivm_parts_")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.where(F.col("event_type") == "purchase")
+            .join(F.broadcast(cust), batch_df["user_id"] == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(part_dir, f"b{batch_id}")
+        )
+
+    s = _read_stream(spark, sf_dir, max_files=1)
+    with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
+        q = (
+            s.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    parts = spark.read.option("recursiveFileLookup", "true").parquet(part_dir)
+    view = parts.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("long").alias("n_purchases"),
+        (F.sum("cents").cast("double") / 100).alias("revenue"),
+    )
+    return view.localCheckpoint(eager=True)
