@@ -118,6 +118,7 @@ _NEW_R03 = [
     "llm_shard_assignment",
     "events_cuped",
     "stream_join_ivm",
+    "join_spatial_grid",
 ]
 
 # The similarity family has the most novel code and zero driver rows

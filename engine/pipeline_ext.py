@@ -1583,3 +1583,106 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov / varx).alias("theta"),
         (F.lit(1.0) - (cov * cov) / (varx * vary)).alias("var_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial join
+# ---------------------------------------------------------------------------
+
+_GEO_R = 2.0  # radius (same unit as the synthetic coordinate plane)
+
+
+def _geo_points_sql() -> str:
+    xs = _hex_slice_int_sql("h", 1, 7)
+    ys = _hex_slice_int_sql("h", 8, 7)
+    return f"""
+      SELECT c_custkey AS id,
+             ({xs} % 100000) / 1000.0 AS x,
+             ({ys} % 100000) / 1000.0 AS y
+      FROM (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer)
+    """
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS ({_geo_points_sql()}),
+    cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / {_GEO_R}) AS BIGINT) AS cx,
+             CAST(floor(y / {_GEO_R}) AS BIGINT) AS cy
+      FROM pts
+    ),
+    a9 AS (
+      SELECT id, x, y, cx + dx.v AS ncx, cy + dy.v AS ncy
+      FROM cells, unnest([-1, 0, 1]) AS dx(v), unnest([-1, 0, 1]) AS dy(v)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM a9 a JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_GEO_R} * {_GEO_R}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join via grid bucketing: points land in r-sized cells,
+    candidate pairs come ONLY from a point's 3×3 cell neighborhood, and
+    the exact distance predicate verifies within candidates — the
+    spatial-join topology (geohash/S2-cell style) that replaces the
+    O(n²) distance θ-join with an equi-shuffle on cell ids.
+
+    Each qualifying pair is produced exactly once: the LEFT side explodes
+    into its 9 neighbor cells while the RIGHT side sits in its home cell,
+    and id_a < id_b canonicalizes. Cost = Σ over cells of
+    |cell|·|neighborhood| — density-bounded, skew-guarded the same way
+    as any hot join key. Coordinates are md5-derived synthetic points
+    (the fixture carries no geo columns) — deterministic rationals, so
+    the distance-squared threshold compare is bit-identical in both
+    engines; the production swap is real lat/lon with a haversine verify
+    (fn_trig_geo has the formula)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.md5(F.col("c_custkey").cast("string")).alias("h"),
+    ).select(
+        "id",
+        ((F.conv(F.substring("h", 1, 7), 16, 10).cast("long") % 100000) / 1000.0).alias("x"),
+        ((F.conv(F.substring("h", 8, 7), 16, 10).cast("long") % 100000) / 1000.0).alias("y"),
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / _GEO_R).cast("long").alias("cx"),
+        F.floor(F.col("y") / _GEO_R).cast("long").alias("cy"),
+    )
+    a9 = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dx"),
+        "cx", "cy",
+    ).select(
+        "id_a", "xa", "ya",
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dy"),
+        "cy",
+    ).select(
+        "id_a", "xa", "ya", "ncx", (F.col("cy") + F.col("dy")).alias("ncy")
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        "cx", "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a9.join(
+            b,
+            (F.col("ncx") == F.col("cx"))
+            & (F.col("ncy") == F.col("cy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(d2 <= _GEO_R * _GEO_R)
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
+    )
