@@ -119,6 +119,7 @@ _NEW_R03 = [
     "events_cuped",
     "stream_join_ivm",
     "join_spatial_grid",
+    "llm_pipeline_e2e",
 ]
 
 # The similarity family has the most novel code and zero driver rows

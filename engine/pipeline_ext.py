@@ -1686,3 +1686,77 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= _GEO_R * _GEO_R)
         .select("id_a", "id_b", F.round(F.sqrt(d2), 6).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline composition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_pipeline_e2e",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, text, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE text <> ''
+    ), filtered AS (
+      SELECT * FROM sized WHERE n_tokens >= 10 AND n_tokens <= 1000
+    ), deduped AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ), sharded AS (
+      SELECT doc_id, n_tokens,
+             CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                  % {_N_SHARDS} AS BIGINT) AS shard
+      FROM deduped
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM sharded GROUP BY shard
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline as ONE lazy plan: length/
+    quality filter → corpus-wide exact dedup (keep-first) → size-balanced
+    shard assignment → per-shard manifest. The point being demonstrated:
+    every stage of this engine composes as a DataFrame transformation, so
+    the whole pipeline is a single Catalyst plan — the filter pushes into
+    the scan, the dedup window and the manifest aggregate pipeline into
+    three total exchanges, and NOTHING materializes between stages (no
+    intermediate writes, no driver round-trips — contrast with a
+    stage-per-job orchestration that pays a full write+read between every
+    step).
+
+    At 100 TB each stage keeps its individual scale shape (scan-pushed
+    filter; 16-byte-key dedup shuffle; the shard ranking caveat and its
+    range-partitioned fix documented on llm_shard_assignment) and the
+    composition adds zero new shuffles beyond the stages' own. The
+    oracle composes the same stages as CTEs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sized = d.where(F.col("text") != "").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    filtered = sized.where((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+    wdup = Window.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    wshard = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    sharded = deduped.select(
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(wshard) - 1) % _N_SHARDS).cast("long").alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
