@@ -673,16 +673,18 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY dd
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), vared AS (
+      SELECT event_type, dd, cnt,
+             CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7 AS dev,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                * CAST(s1 AS DOUBLE) / 7) / 6 AS var
+      FROM winstats WHERE k = 7
     )
     SELECT event_type, dd, cnt,
-           (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
-             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
-                       * CAST(s1 AS DOUBLE) / 7) / 6) AS z,
-           COALESCE(abs((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 7)
-             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
-                       * CAST(s1 AS DOUBLE) / 7) / 6)) >= 2.0,
-             FALSE) AS is_anomaly
-    FROM winstats WHERE k = 7
+           CASE WHEN var > 0 THEN dev / sqrt(var) END AS z,
+           COALESCE(abs(CASE WHEN var > 0 THEN dev / sqrt(var) END) >= 2.0,
+                    FALSE) AS is_anomaly
+    FROM vared
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +700,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines and partitionings with NO grid rounding.
     One shuffle on event_type (tiny), window over day-ordered rows;
     daily pre-aggregation means window input is |types|×|days| rows, not
-    raw events."""
+    raw events. A degenerate trailing window (all 7 counts identical ⇒
+    variance exactly 0) yields z = NULL / is_anomaly = false on BOTH
+    engines — guarded explicitly because ANSI Spark raises on the
+    division while DuckDB would emit inf (caught by the edge-events
+    differential fixture, tests/test_edge_events.py)."""
     e = load_tables(spark, sf_dir)["events"]
     daily = (
         e.select(
@@ -719,13 +725,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
         F.count("*").over(w).alias("k"),
     ).where(F.col("k") == 7)
-    z = (F.col("cnt").cast("double") - F.col("s1").cast("double") / 7) / F.sqrt(
-        (
-            F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double") / 7
-        )
-        / 6
-    )
+    dev = F.col("cnt").cast("double") - F.col("s1").cast("double") / 7
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / 7
+    ) / 6
+    z = F.when(var > 0, dev / F.sqrt(var))
     return stats.select(
         "event_type",
         "dd",
@@ -1505,22 +1510,22 @@ def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x * yc) AS BIGINT) AS sxy,
              CAST(sum(yc * yc) AS BIGINT) AS syy
       FROM b
+    ), derived AS (
+      SELECT n,
+             CAST(sy AS DOUBLE) / 100 / n AS mean_y,
+             CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
+               * (CAST(sy AS DOUBLE) / 100) / n AS cov,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / n AS varx,
+             CAST(syy AS DOUBLE) / 10000 - (CAST(sy AS DOUBLE) / 100)
+               * (CAST(sy AS DOUBLE) / 100) / n AS vary
+      FROM mom
     )
-    SELECT n,
-           CAST(sy AS DOUBLE) / 100 / n AS mean_y,
-           (CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
-              * (CAST(sy AS DOUBLE) / 100) / n)
-             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                  * CAST(sx AS DOUBLE) / n) AS theta,
-           1.0 - ((CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
-                     * (CAST(sy AS DOUBLE) / 100) / n)
-                  * (CAST(sxy AS DOUBLE) / 100 - CAST(sx AS DOUBLE)
-                       * (CAST(sy AS DOUBLE) / 100) / n))
-               / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                     * CAST(sx AS DOUBLE) / n)
-                  * (CAST(syy AS DOUBLE) / 10000 - (CAST(sy AS DOUBLE) / 100)
-                       * (CAST(sy AS DOUBLE) / 100) / n)) AS var_ratio
-    FROM mom
+    SELECT n, mean_y,
+           CASE WHEN varx > 0 THEN cov / varx END AS theta,
+           CASE WHEN varx > 0 AND vary > 0
+                THEN 1.0 - (cov * cov) / (varx * vary) END AS var_ratio
+    FROM derived
     """,
 )
 def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1577,11 +1582,15 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy").cast("double") / 100 - sx * (sy / 100) / dn
     varx = F.col("sxx").cast("double") - sx * sx / dn
     vary = F.col("syy").cast("double") / 10000 - (sy / 100) * (sy / 100) / dn
+    # degenerate-design guards (edge-events fixture): a zero-variance
+    # covariate or metric yields NULL instead of an ANSI divide-by-zero
     return mom.select(
         "n",
         (sy / 100 / dn).alias("mean_y"),
-        (cov / varx).alias("theta"),
-        (F.lit(1.0) - (cov * cov) / (varx * vary)).alias("var_ratio"),
+        F.when(varx > 0, cov / varx).alias("theta"),
+        F.when(
+            (varx > 0) & (vary > 0), F.lit(1.0) - (cov * cov) / (varx * vary)
+        ).alias("var_ratio"),
     )
 
 
