@@ -420,6 +420,7 @@ def _norm2(col: str = "embedding"):
                  list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
           FROM embeddings)
+    WHERE nsq > 0
     """,
 )
 def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,7 +431,10 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, and double→string rendering differs between engines."""
     e = load_tables(spark, sf_dir)["embeddings"]
     norm = F.sqrt(_norm2())
-    return e.select(
+    # zero-norm vectors carry no direction: excluded explicitly (mirrored
+    # in the oracle) — under ANSI the division would otherwise raise
+    # (caught by tests/test_edge_embeddings.py)
+    return e.where(_norm2() > 0).select(
         "vec_id",
         F.array_join(
             F.transform(
@@ -502,6 +506,8 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
         FROM embeddings e CROSS JOIN cents c
+        WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) > 0
     )
     SELECT vec_id, label, c_label AS nearest_label, true AS cos_in_range
     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -540,8 +546,11 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("centroid", "centroid", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
     )
+    # zero-norm vectors excluded on both sides (no direction — the
+    # division would raise under ANSI; tests/test_edge_embeddings.py)
     scored = (
-        e.crossJoin(F.broadcast(cents))
+        e.where(_norm2() > 0)
+        .crossJoin(F.broadcast(cents))
         .withColumn("cos", dot / (F.sqrt(_norm2()) * cnorm))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_label")
@@ -814,8 +823,10 @@ def llm_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, round(emn, 6) AS mn, round(emx, 6) AS mx,
            array_to_string(list_transform(embedding,
-             x -> CAST(round((CAST(x AS DOUBLE) - emn) / (emx - emn) * 255, 0)
-                  AS INTEGER)), ',') AS q
+             x -> CASE WHEN emx > emn
+                  THEN CAST(round((CAST(x AS DOUBLE) - emn) / (emx - emn) * 255,
+                            0) AS INTEGER)
+                  ELSE 0 END), ',') AS q
     FROM t
     """,
 )
@@ -841,9 +852,12 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("emn", 6).alias("mn"),
         F.round("emx", 6).alias("mx"),
+        # degenerate range (constant vector): every code 0, dequant = mn
+        # (mirrored in the oracle; ANSI would raise on the 0/0 otherwise)
         F.expr(
-            "array_join(transform(embedding, x -> cast(cast(round((cast(x as double)"
-            " - emn) / (emx - emn) * 255, 0) as int) as string)), ',')"
+            "array_join(transform(embedding, x -> cast(if(emx > emn,"
+            " cast(round((cast(x as double) - emn) / (emx - emn) * 255, 0)"
+            " as int), 0) as string)), ',')"
         ).alias("q"),
     )
 

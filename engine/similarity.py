@@ -106,11 +106,14 @@ def _sql_cos(a: str, b: str) -> str:
 @query(
     "llm_ann_brute",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+    WITH nz AS (SELECT * FROM embeddings
+                WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) > 0),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM nz WHERE vec_id < 20),
     scored AS (
       SELECT q.qid, e.vec_id AS nid,
              {_sql_cos('q.qe', 'e.embedding')} AS cos
-      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      FROM q JOIN nz e ON e.vec_id <> q.qid
     )
     SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
@@ -123,7 +126,12 @@ def llm_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline every ANN variant is judged against. Query set broadcasts;
     the corpus streams partition-parallel; per-partition top-k then global
     top-k (WindowGroupLimit), so nothing materializes n×q rows at scale."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    # zero-norm vectors carry no direction — excluded on both sides
+    # (mirrored in every ANN oracle; ANSI raises on the division
+    # otherwise — caught by tests/test_edge_embeddings.py)
+    e = load_tables(spark, sf_dir)["embeddings"].where(
+        _dot(_dbl("embedding"), _dbl("embedding")) > 0
+    )
     # norms precomputed ONCE per vector, not per pair (sqrt is deterministic,
     # so dot/qn/nn stays bit-identical to the oracle's dot/sqrt(..)/sqrt(..))
     q = e.where(F.col("vec_id") < 20).select(
@@ -154,6 +162,8 @@ def llm_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
       FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, x.vec_id AS id_b, a.bucket,
@@ -177,7 +187,9 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     or cell-probing (llm_ann_ivf). At cluster scale, salt over-full
     buckets. Fully hash-match verified — the deterministic planes are
     embedded in both engines' plans."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    e = load_tables(spark, sf_dir)["embeddings"].where(
+        _dot(_dbl("embedding"), _dbl("embedding")) > 0  # zero-norm excluded
+    )
     b = e.select(
         "vec_id",
         "embedding",
@@ -404,7 +416,8 @@ def _ivf_oracle() -> str:
         "WITH "
         + ",".join(parts)
         + f""",
-    q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 20),
+    q AS (SELECT vec_id AS qid, v AS qe FROM e
+          WHERE vec_id < 20 AND list_dot_product(v, v) > 0),
     qa AS (
       SELECT qid, c,
              row_number() OVER (
@@ -412,6 +425,7 @@ def _ivf_oracle() -> str:
       FROM (
         SELECT q.qid, ct.c, {_sql_cos('q.qe', 'ct.cent')} AS ccos
         FROM q CROSS JOIN cent{last} ct
+        WHERE list_dot_product(ct.cent, ct.cent) > 0
       )
     ),
     probes AS (SELECT qid, c FROM qa WHERE cr <= {_IVF_NPROBE}),
@@ -422,7 +436,7 @@ def _ivf_oracle() -> str:
       JOIN a{last} a ON a.c = p.c
       JOIN e ev ON ev.vec_id = a.vec_id
       JOIN q ON q.qid = p.qid
-      WHERE a.vec_id <> p.qid
+      WHERE a.vec_id <> p.qid AND list_dot_product(ev.v, ev.v) > 0
     )
     SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
       SELECT *, row_number() OVER (
@@ -460,8 +474,12 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir)["embeddings"]
     assign, cents = lloyd_fit(e, _IVF_CELLS, _IVF_ITERS)
-    ev = e.select("vec_id", _dbl("embedding").alias("v")).withColumn(
-        "nn", F.sqrt(_dot("v", "v"))
+    # training keeps every vector (no division); scoring excludes
+    # zero-norm rows on both sides (oracle mirrors)
+    ev = (
+        e.select("vec_id", _dbl("embedding").alias("v"))
+        .where(_dot("v", "v") > 0)
+        .withColumn("nn", F.sqrt(_dot("v", "v")))
     )
     q = ev.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
@@ -471,7 +489,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcos = _dot("qe", "cent") / F.col("qn") / F.sqrt(_dot("cent", "cent"))
     aw = Window.partitionBy("qid").orderBy(F.round(F.col("ccos"), 6).desc(), "c")
     probes = (
-        q.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cents.where(_dot("cent", "cent") > 0)))
         .select("qid", "qe", "qn", "c", qcos.alias("ccos"))
         .withColumn("cr", F.row_number().over(aw))
         .where(F.col("cr") <= _IVF_NPROBE)
@@ -883,11 +901,14 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ann_quantized",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+    WITH nz AS (SELECT * FROM embeddings
+                WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) > 0),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM nz WHERE vec_id < 20),
     scored AS (
       SELECT q.qid, e.vec_id AS nid,
              {_sql_cos('q.qe', 'e.embedding')} AS cos
-      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+      FROM q JOIN nz e ON e.vec_id <> q.qid
     )
     SELECT qid, rn, nid, round(cos, 6) AS cos, true AS matches_exact FROM (
       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
@@ -911,7 +932,9 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a hard hash mismatch, not a hidden metric (verified all-true
     at sf0.001/0.01/0.1; the re-ranked cosine is the exact double cosine,
     so values coincide with brute force whenever the neighbor matches)."""
-    e = load_tables(spark, sf_dir)["embeddings"]
+    e = load_tables(spark, sf_dir)["embeddings"].where(
+        _dot(_dbl("embedding"), _dbl("embedding")) > 0  # zero-norm excluded
+    )
     D = 64
     dbl = _dbl("embedding")
     base = e.select(
@@ -924,9 +947,11 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "mn",
         ((F.col("mx") - F.col("mn")) / 255).alias("s"),
+        # constant vectors (mx == mn): all codes 0, s = 0 — the affine
+        # dot reduces to D*mn_a*mn_b terms, still exact
         F.expr(
-            "transform(embedding, x -> cast(round((cast(x as double) - mn)"
-            " / (mx - mn) * 255, 0) as int))"
+            "transform(embedding, x -> if(mx > mn, cast(round((cast(x as double)"
+            " - mn) / (mx - mn) * 255, 0) as int), 0))"
         ).alias("q"),
     ).select(
         "*",
@@ -990,10 +1015,14 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_semdedup",
     oracle=f"""
-    WITH ex AS (
+    WITH nz AS (
+      SELECT * FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ), ex AS (
       SELECT label, generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS v
-      FROM embeddings
+      FROM nz
     ), p AS (
       SELECT label, i AS pos, avg(CAST(v AS DOUBLE)) AS a FROM ex GROUP BY label, i
     ), cents AS (
@@ -1004,7 +1033,8 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                       CAST(e.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
-      FROM embeddings e CROSS JOIN cents c
+      FROM nz e CROSS JOIN cents c
+      WHERE list_dot_product(c.centroid, c.centroid) > 0
     ), assign AS (
       SELECT vec_id, c_label AS cell
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1015,8 +1045,8 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_sql_cos('ea.embedding', 'eb.embedding')} AS cos
       FROM assign a
       JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      JOIN nz ea ON ea.vec_id = a.vec_id
+      JOIN nz eb ON eb.vec_id = b.vec_id
     )
     SELECT idb AS drop_id, CAST(min(ida) AS BIGINT) AS keep_id, cell
     FROM pr WHERE cos >= {_NEAR_DUP_TAU} GROUP BY idb, cell
@@ -1047,7 +1077,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash exactly."""
     import numpy as np
 
-    e = load_tables(spark, sf_dir)["embeddings"]
+    # zero-norm vectors carry no direction — excluded from centroid
+    # building, assignment, and verification on both sides
+    e = load_tables(spark, sf_dir)["embeddings"].where(
+        _dot(_dbl("embedding"), _dbl("embedding")) > 0
+    )
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     avgs = ex.groupBy("label", "pos").agg(
         F.avg(F.col("val").cast("double")).alias("a")
@@ -1082,6 +1116,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "c_label")
     assign = (
         e.crossJoin(F.broadcast(cents))
+        .where(cnrm > 0)
         .withColumn("cos", dot / (nrm * cnrm))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -1147,7 +1182,13 @@ def _pq_oracle() -> str:
         _PQ_SUB, _PQ_SUBDIM, _PQ_K, _PQ_NQ, _PQ_SHORTLIST, _PQ_ADC_GRID
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n0
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+    e AS (SELECT vec_id, list_transform(v0, x -> x / n0) AS v FROM e0),
     en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     subs AS (
       SELECT vec_id, nrm, g.s,
@@ -1268,8 +1309,19 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-vector, once) norm precompute. Training is fully declarative —
     no driver-side model state."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    ev = e.select("vec_id", _dbl("embedding").alias("v")).withColumn(
-        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    # zero-norm vectors excluded, survivors L2-NORMALIZED before PQ
+    # (cosine-metric PQ trains on unit vectors — also bounds every ADC
+    # lane dot to [-1, 1] so the 1e-9 integer grid can never overflow a
+    # BIGINT on extreme-magnitude inputs; tests/test_edge_embeddings.py)
+    ev = (
+        e.select("vec_id", _dbl("embedding").alias("v0"))
+        .where(_dot(F.col("v0"), F.col("v0")) > 0)
+        .withColumn("n0", F.sqrt(_dot(F.col("v0"), F.col("v0"))))
+        .select(
+            "vec_id",
+            F.transform(F.col("v0"), lambda x: x / F.col("n0")).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     subs = ev.select(
         "vec_id",
