@@ -53,7 +53,7 @@ def _ts(s: str) -> F.Column:
     WITH ps AS (
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
              min({_SQL_CENTS.format(expr='l_extendedprice / l_quantity')}) AS cost_cents
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
     ), eu AS (
       SELECT s.s_suppkey, s.s_name, n.n_name
       FROM supplier s
@@ -88,7 +88,10 @@ def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one shuffle total, AQE-coalesced."""
     t = load_tables(spark, sf_dir)
     ps = (
+        # zero-quantity lines have no unit price — excluded (mirrored in
+        # the oracle; ANSI raises on the division otherwise)
         t["lineitem"]
+        .where(F.col("l_quantity") > 0)
         .groupBy(
             F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
         )
