@@ -122,6 +122,7 @@ _NEW_R03 = [
     "llm_pipeline_e2e",
     "dq_skew_profile",
     "dq_freshness",
+    "llm_hard_negatives",
 ]
 
 # The similarity family has the most novel code and zero driver rows

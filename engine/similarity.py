@@ -1436,3 +1436,64 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos",
         (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH nz AS (SELECT * FROM embeddings
+                WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) > 0),
+    q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qe
+          FROM nz WHERE vec_id < 20),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid, e.label AS neg_label,
+             {{cos}} AS cos
+      FROM q JOIN nz e
+        ON e.vec_id <> q.qid AND e.label <> q.q_label
+    )
+    SELECT qid, rn, nid, neg_label, round(cos, 6) AS cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, nid) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """.format(cos=_sql_cos("q.qe", "e.embedding")),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar vectors carrying a DIFFERENT label —
+    the examples a contrastive loss learns most from (high-similarity
+    wrong-class pairs), mined exactly here as the baseline the ANN-backed
+    production variant (swap the scored relation for llm_ann_lsh/ivf/pq
+    candidates) is measured against.
+
+    Same scale shape as llm_ann_brute: the 20-query set broadcasts, the
+    corpus streams partition-parallel with per-partition top-k
+    (WindowGroupLimit), the label-mismatch predicate rides the broadcast
+    probe — no extra shuffle vs plain ANN. Zero-norm vectors excluded on
+    both sides (engine policy)."""
+    e = load_tables(spark, sf_dir)["embeddings"].where(
+        _dot(_dbl("embedding"), _dbl("embedding")) > 0
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("qn"),
+    )
+    en = e.withColumn("nn", F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))))
+    scored = en.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("q_label")),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("neg_label"),
+        (_dot(_dbl("qe"), _dbl("embedding")) / F.col("qn") / F.col("nn")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("qid", "rn", "nid", "neg_label", F.round("cos", 6).alias("cos"))
+    )
