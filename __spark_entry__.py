@@ -123,6 +123,8 @@ _NEW_R03 = [
     "dq_skew_profile",
     "dq_freshness",
     "llm_hard_negatives",
+    "llm_banding_recall_report",
+    "dq_distribution_drift",
 ]
 
 # The similarity family has the most novel code and zero driver rows

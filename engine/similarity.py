@@ -1497,3 +1497,110 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("qid", "rn", "nid", "neg_label", F.round("cos", 6).alias("cos"))
     )
+
+
+@query(
+    "llm_banding_recall_report",
+    oracle=f"""
+    WITH nz AS (SELECT vec_id, embedding FROM embeddings
+                WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])) > 0),
+    b AS (
+      SELECT vec_id, embedding,
+             {_BAND_SQL_COLS}
+      FROM embeddings
+    ), m AS (
+      {_BAND_SQL_MELT}
+    ), msz AS (
+      SELECT band, bv FROM m GROUP BY band, bv HAVING count(*) <= 512
+    ), mc AS (
+      SELECT m.* FROM m JOIN msz USING (band, bv)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+      FROM mc a JOIN mc x ON a.band = x.band AND a.bv = x.bv AND a.vec_id < x.vec_id
+    ), found AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= {_NEAR_DUP_TAU}
+    ), truth AS (
+      SELECT a.vec_id AS id_a, x.vec_id AS id_b
+      FROM nz a JOIN nz x ON a.vec_id < x.vec_id
+      WHERE {_sql_cos('a.embedding', 'x.embedding')} >= {_NEAR_DUP_TAU}
+    ), inter AS (
+      SELECT t.id_a FROM truth t JOIN found f
+        ON t.id_a = f.id_a AND t.id_b = f.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+           (SELECT CAST(count(*) AS BIGINT) FROM inter) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) > 0
+                THEN CAST((SELECT count(*) FROM inter) AS DOUBLE)
+                     / (SELECT count(*) FROM truth) END AS recall
+    """,
+)
+def llm_banding_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-VERIFIED recall accounting for the banded-LSH dedup path:
+    ground-truth cos ≥ τ pairs (brute force over non-zero vectors), the
+    banding candidate count, the verified found set, and recall — the
+    numbers BENCH.md reports from sweep scripts, now emitted by an
+    operator whose every count the oracle re-derives, so the quality
+    claim itself sits under the correctness gate.
+
+    This is the eval harness every production dedup pipeline runs on a
+    SAMPLE before trusting a banding config at full scale: brute force
+    is O(n²) and stays sample-only (documented as such; at sf0.01 it is
+    125k pairs, trivial), while the banding side is the production path
+    (melt → capped buckets → per-bucket matmul verify). recall is a
+    ratio of exact pair counts — no float noise; the intersection join
+    makes τ-boundary float disagreements impossible by construction
+    (both engines intersect their own verified pair SETS, which the
+    llm_near_dedup_embedding gate already proves identical)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    nz = e.where(_dot(_dbl("embedding"), _dbl("embedding")) > 0)
+    found = _banded_tau_pairs(e).select("id_a", "id_b").distinct()
+    melt = _banded_melt(e)
+    msz = melt.groupBy("band", "bv").count().where(F.col("count") <= _BUCKET_CAP)
+    mc = melt.join(msz.select("band", "bv"), ["band", "bv"])
+    cand = (
+        mc.alias("a")
+        .join(
+            mc.alias("x"),
+            (F.col("a.band") == F.col("x.band"))
+            & (F.col("a.bv") == F.col("x.bv"))
+            & (F.col("a.vec_id") < F.col("x.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("x.vec_id").alias("id_b"))
+        .distinct()
+    )
+    a = nz.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+                  F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("na"))
+    x = nz.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+                  F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nb"))
+    truth = (
+        a.join(x, F.col("id_a") < F.col("id_b"))
+        .where(
+            (_dot(_dbl("ea"), _dbl("eb")) / F.col("na") / F.col("nb"))
+            >= _NEAR_DUP_TAU
+        )
+        .select("id_a", "id_b")
+    )
+    inter = truth.join(found, ["id_a", "id_b"])
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    n_hit = inter.agg(F.count("*").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_found).crossJoin(n_hit).select(
+            "n_true",
+            "n_candidates",
+            "n_found",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hit").cast("double") / F.col("n_true"),
+            ).alias("recall"),
+        )
+    )
