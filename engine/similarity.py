@@ -1322,6 +1322,10 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("v0"), lambda x: x / F.col("n0")).alias("v"),
         )
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        # the normalized relation feeds codebooks, codes, queries, and the
+        # re-rank — checkpoint once (~2.5 MB at sf0.1) instead of
+        # re-normalizing in every branch (measured 3.2 -> 2.9 s at sf0.1)
+        .localCheckpoint(eager=True)
     )
     subs = ev.select(
         "vec_id",
