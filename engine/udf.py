@@ -185,19 +185,34 @@ _IMG1_MAGIC = b"IMG1"
 _IMG1_HEADER_LEN = 9
 
 
-def _img1_encode(doc_id: int) -> bytes:
-    """Build one IMG1 payload (executor-side, inside a pandas UDF)."""
-    import struct
+def _img1_encoder():
+    """Return a SELF-CONTAINED IMG1 encoder closure.
 
-    import numpy as np
+    Worker-portability rule (caught by a fresh-process dry-run from a
+    non-repo cwd): anything a pandas-UDF closure references from
+    ``engine.*`` module scope is pickled BY NAME and requires the worker
+    to import the engine package — which only works when the repo happens
+    to be on the worker's path. A nested function (and captured literal
+    constants) pickle BY VALUE, so the UDF runs on any worker with no
+    engine import at all. Every media UDF binds this closure and the
+    header constants as LOCALS before building its closures.
+    """
+    magic = b"IMG1"
 
-    w = 8 + doc_id % 9
-    h = 8 + (doc_id * 3) % 9
-    c = 1 + 2 * (doc_id % 2)
-    px = ((doc_id * 31 + np.arange(w * h * c, dtype=np.int64) * 17) % 256).astype(
-        np.uint8
-    )
-    return struct.pack(">4sBHH", _IMG1_MAGIC, c, w, h) + px.tobytes()
+    def enc(doc_id: int) -> bytes:
+        import struct
+
+        import numpy as np
+
+        w = 8 + doc_id % 9
+        h = 8 + (doc_id * 3) % 9
+        c = 1 + 2 * (doc_id % 2)
+        px = ((doc_id * 31 + np.arange(w * h * c, dtype=np.int64) * 17) % 256).astype(
+            np.uint8
+        )
+        return struct.pack(">4sBHH", magic, c, w, h) + px.tobytes()
+
+    return enc
 
 
 @query(
@@ -251,10 +266,12 @@ def udf_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = load_tables(spark, sf_dir)["documents"]
+    enc = _img1_encoder()
+    MAGIC, HDR = _IMG1_MAGIC, _IMG1_HEADER_LEN  # locals → pickled by value
 
     @F.pandas_udf(T.BinaryType())
     def make_img1(doc_ids: pd.Series) -> pd.Series:
-        return doc_ids.apply(lambda i: _img1_encode(int(i)))
+        return doc_ids.apply(lambda i: enc(int(i)))
 
     media = d.select("doc_id", make_img1("doc_id").alias("payload"))
 
@@ -273,11 +290,11 @@ def udf_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_one(doc_id: int, payload: bytes) -> tuple:
         b = bytes(payload)
-        magic, c, w, h = struct.unpack(">4sBHH", b[:_IMG1_HEADER_LEN])
-        ok = magic == _IMG1_MAGIC and len(b) == _IMG1_HEADER_LEN + w * h * c
+        magic, c, w, h = struct.unpack(">4sBHH", b[:HDR])
+        ok = magic == MAGIC and len(b) == HDR + w * h * c
         if not ok:
             return (doc_id, 0, 0, 0, len(b), None, None, False)
-        px = np.frombuffer(b, dtype=np.uint8, offset=_IMG1_HEADER_LEN).astype(
+        px = np.frombuffer(b, dtype=np.uint8, offset=HDR).astype(
             np.float64
         )
         return (
@@ -363,10 +380,13 @@ def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = load_tables(spark, sf_dir)["documents"]
+    enc = _img1_encoder()
+    MAGIC, HDR = _IMG1_MAGIC, _IMG1_HEADER_LEN
+    FRAMES, CROP = _FRAME_SAMPLE, _CROP
 
     @F.pandas_udf(T.BinaryType())
     def make_img1(doc_ids: pd.Series) -> pd.Series:
-        return doc_ids.apply(lambda i: _img1_encode(int(i)))
+        return doc_ids.apply(lambda i: enc(int(i)))
 
     media = d.select("doc_id", make_img1("doc_id").alias("payload"))
 
@@ -384,15 +404,15 @@ def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "frame_idx": [], "frame_len": [], "feat": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                magic, c, w, h = struct.unpack(">4sBHH", b[:_IMG1_HEADER_LEN])
-                if magic != _IMG1_MAGIC:
+                magic, c, w, h = struct.unpack(">4sBHH", b[:HDR])
+                if magic != MAGIC:
                     continue
-                px = np.frombuffer(b, dtype=np.uint8, offset=_IMG1_HEADER_LEN)
+                px = np.frombuffer(b, dtype=np.uint8, offset=HDR)
                 row_len = w * c
-                for k in _FRAME_SAMPLE:
+                for k in FRAMES:
                     if k >= h:
                         continue
-                    crop = px[k * row_len : k * row_len + min(_CROP, row_len)]
+                    crop = px[k * row_len : k * row_len + min(CROP, row_len)]
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(k)
                     rows["frame_len"].append(row_len)
@@ -578,10 +598,12 @@ def udf_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = load_tables(spark, sf_dir)["documents"]
+    enc = _img1_encoder()
+    MAGIC, HDR = _IMG1_MAGIC, _IMG1_HEADER_LEN
 
     @F.pandas_udf(T.BinaryType())
     def make_img1(doc_ids: pd.Series) -> pd.Series:
-        return doc_ids.apply(lambda i: _img1_encode(int(i)))
+        return doc_ids.apply(lambda i: enc(int(i)))
 
     media = d.select("doc_id", make_img1("doc_id").alias("payload"))
     out_schema = (
@@ -591,10 +613,10 @@ def udf_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize_one(doc_id: int, payload: bytes) -> tuple:
         b = bytes(payload)
-        magic, c, w, h = struct.unpack(">4sBHH", b[:_IMG1_HEADER_LEN])
-        if magic != _IMG1_MAGIC or len(b) != _IMG1_HEADER_LEN + w * h * c:
+        magic, c, w, h = struct.unpack(">4sBHH", b[:HDR])
+        if magic != MAGIC or len(b) != HDR + w * h * c:
             return (doc_id, 0, 0, 0, None, None, False)
-        px = np.frombuffer(b, dtype=np.uint8, offset=_IMG1_HEADER_LEN).reshape(
+        px = np.frombuffer(b, dtype=np.uint8, offset=HDR).reshape(
             h, w, c
         )
         ys = (np.arange(4) * h) // 4
