@@ -31,26 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The only hard-signal driver FAILURES on record (r01 reds, fixed in
-# commit 50ed832 and strict-local-green since): their fixes need a driver
-# row before the claim counts, so they run before everything else.
-_FIXED_REDS = [
-    "fn_string_basic",
-    "fn_array_basic",
-    "fn_map_ops",
-    "fn_date_arith",
-    "fn_cast",
-    "llm_text_stats",
-]
-
-# North-star Structured-Streaming keys promoted into the sample (VERDICT r02
-# item 2): the CDC flagship plus the cheap windowed/dedup/join shapes.
-_PROMOTED_STREAMING = [
-    "stream_cdc_pipeline",
-    "stream_tumbling_count",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_sliding_avg",
+# VERDICT r03 item 2: the never-driver-checked keys with the largest
+# hand-rolled-algorithm surface (and therefore the highest residual risk
+# despite strict local green) jump the name-order queue — PQ ANN, BPE
+# train/apply, Bloom incremental dedup, the batch+streaming IVM pair,
+# and the stateful-streaming pair.
+_PROMOTED_R04 = [
+    "llm_ann_pq",
+    "llm_bpe_train",
+    "llm_bpe_apply",
+    "llm_bloom_dedup",
+    "cdc_join_ivm",
+    "stream_join_ivm",
+    "stream_timeout_sessions",
+    "stream_custom_stateful",
 ]
 
 # Keys added in round 3 (TPC-H completion + llm_ext): genuinely
@@ -127,19 +121,6 @@ _NEW_R03 = [
     "dq_distribution_drift",
 ]
 
-# The similarity family has the most novel code and zero driver rows
-# (VERDICT r02 item 7) — sampled as a block right after the above.
-_SIMILARITY = [
-    "llm_semdedup",
-    "llm_dedup_clusters",
-    "llm_near_dedup_embedding",
-    "llm_near_dedup_simhash",
-    "llm_ngram_jaccard",
-    "llm_ann_brute",
-    "llm_ann_lsh",
-    "llm_ann_ivf",
-    "llm_ann_quantized",
-]
 
 
 def _coverage_rank() -> dict[str, int]:
@@ -173,35 +154,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so the
     driver's fixed-prefix check lands on the keys that need it most:
 
-    tier 0: the 6 fixed r01-red keys (fix confirmation, VERDICT item 1);
-    tier 1: 5 promoted streaming keys incl. the stream_cdc_pipeline
-            flagship (VERDICT item 2);
-    tier 2: the 9-key similarity family (VERDICT item 7);
+    tier 0: the 8 promoted most-novel never-checked keys (VERDICT r03
+            item 2) — PQ ANN, BPE, Bloom dedup, IVM pair, stateful
+            streaming pair — highest residual risk despite local green;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
-    tier 4: never-driver-checked non-streaming keys, name order;
-    tier 5: never-checked streaming remainder (slow: real availableNow
-            queries), then checked-but-oracle-less keys (re-running the
-            rows-only check adds no evidence), then fully-passed keys.
+    tier 4: never-driver-checked keys — r1/r2-era keys first (three
+            rounds waiting; all win_*/udf_*/sort/set/sql_*/text_ext),
+            then r03 additions, then streaming (slow: real availableNow
+            queries each);
+    tier 5: checked-but-oracle-less keys (re-running a rows-only check
+            adds no evidence), then fully-passed keys.
     """
     rank = _coverage_rank()
     streaming = {k for k in registry.QUERIES if k.startswith(("stream_", "source_stream"))}
     streaming.add("sink_foreachBatch_merge")
-    explicit: dict[str, int] = {}
-    for tier, keys in ((0, _FIXED_REDS), (1, _PROMOTED_STREAMING), (2, _SIMILARITY)):
-        for k in keys:
-            explicit[k] = tier
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R04) if rank.get(k, 0) < 2}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]
-        if name in explicit:
-            return (explicit[name], 0, name)
+        if name in promoted:
+            return (0, promoted[name], name)
         r = rank.get(name, 0)
         has_oracle = name in registry.ORACLE_SQL
         if r == 1 and has_oracle:
             return (3, 0, name)  # ran rows-only before, hash-checkable now
         if r == 0:
-            # within never-checked: non-streaming r1/r2 keys first (two
+            # within never-checked: non-streaming r1/r2 keys first (three
             # rounds waiting), then r03 additions, then streaming (slow)
             sub = 2 if name in streaming else (1 if name in _NEW_R03 else 0)
             return (4, sub, name)

@@ -537,7 +537,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver never sees data; the 3-round loop is Python only in plan
     construction (the llm_kmeans_lloyd pattern)."""
     d = load_tables(spark, sf_dir)["documents"]
-    merges, _ = _bpe_fit(load_tables(spark, sf_dir)["documents"])
+    merges, _ = _bpe_fit(d)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionAll(mdf)

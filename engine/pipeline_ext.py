@@ -1101,28 +1101,44 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_ab_welch",
     oracle="""
     WITH g AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
-                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2
+      SELECT
+        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_a,
+        sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+          FILTER (WHERE event_type = 'purchase') AS s1a,
+        sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+            * CAST(floor(value * 100 + 0.5) AS BIGINT))
+          FILTER (WHERE event_type = 'purchase') AS s2a,
+        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_b,
+        sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+          FILTER (WHERE event_type = 'click') AS s1b,
+        sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+            * CAST(floor(value * 100 + 0.5) AS BIGINT))
+          FILTER (WHERE event_type = 'click') AS s2b
       FROM events WHERE event_type IN ('purchase', 'click')
-      GROUP BY event_type
     ), stats AS (
-      SELECT event_type, n,
-             CAST(s1 AS DOUBLE) / 100 / n AS mean,
-             (CAST(s2 AS DOUBLE) / 10000
-               - (CAST(s1 AS DOUBLE) / 100) * (CAST(s1 AS DOUBLE) / 100) / n)
-               / (n - 1) AS var
+      SELECT n_a, n_b,
+        CASE WHEN n_a > 0 THEN CAST(s1a AS DOUBLE) / 100 / n_a END AS mean_a,
+        CASE WHEN n_b > 0 THEN CAST(s1b AS DOUBLE) / 100 / n_b END AS mean_b,
+        CASE WHEN n_a > 1 THEN
+          (CAST(s2a AS DOUBLE) / 10000
+            - (CAST(s1a AS DOUBLE) / 100) * (CAST(s1a AS DOUBLE) / 100) / n_a)
+            / (n_a - 1) END AS va,
+        CASE WHEN n_b > 1 THEN
+          (CAST(s2b AS DOUBLE) / 10000
+            - (CAST(s1b AS DOUBLE) / 100) * (CAST(s1b AS DOUBLE) / 100) / n_b)
+            / (n_b - 1) END AS vb
       FROM g
-    ), a AS (SELECT * FROM stats WHERE event_type = 'purchase'),
-       b AS (SELECT * FROM stats WHERE event_type = 'click')
-    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
-           (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
-           (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
-             / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
-                + (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS dof
-    FROM a, b
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           CASE WHEN va / n_a + vb / n_b > 0 THEN
+             (mean_a - mean_b) / sqrt(va / n_a + vb / n_b) END AS t_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 THEN
+             CASE WHEN (va / n_a) * (va / n_a) / (n_a - 1)
+                       + (vb / n_b) * (vb / n_b) / (n_b - 1) > 0 THEN
+               (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                 / ((va / n_a) * (va / n_a) / (n_a - 1)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1)) END END AS dof
+    FROM stats
     """,
 )
 def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,51 +1150,67 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ cents² as BIGINTs — map-side combinable, order-free at any
     partitioning); mean, Welch t, and the Welch–Satterthwaite dof are
     then fixed expression trees over those integers, so the output
-    doubles are bit-identical across engines with NO rounding grid. One
-    2-group aggregate over a scan-pushed filter; the t-test itself is a
-    1-row cross of two 1-row frames."""
+    doubles are bit-identical across engines with NO rounding grid.
+    ONE conditional aggregate produces both groups' moments in a single
+    row (r03 advice: the previous groupBy→filter-twice→crossJoin shape
+    read the same 2-row aggregate twice), and every division is guarded
+    with F.when for the degenerate cases — n ≤ 1 (variance undefined),
+    zero pooled variance (t undefined), zero Satterthwaite denominator —
+    yielding NULL in BOTH engines instead of an ANSI divide error
+    (mirrors the events_cuped / events_anomaly_zscore guards)."""
     e = load_tables(spark, sf_dir)["events"]
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    g = (
-        e.where(F.col("event_type").isin("purchase", "click"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(cents).alias("s1"),
-            F.sum(cents * cents).alias("s2"),
-        )
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "click"
+    g = e.where(F.col("event_type").isin("purchase", "click")).agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.sum(F.when(is_a, cents)).alias("s1a"),
+        F.sum(F.when(is_a, cents * cents)).alias("s2a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_b, cents)).alias("s1b"),
+        F.sum(F.when(is_b, cents * cents)).alias("s2b"),
     )
-    stats = g.select(
-        "event_type",
-        "n",
-        (F.col("s1").cast("double") / 100 / F.col("n")).alias("mean"),
-        (
+
+    def _mean(s1: str, n: str):
+        return F.when(F.col(n) > 0, F.col(s1).cast("double") / 100 / F.col(n))
+
+    def _var(s1: str, s2: str, n: str):
+        return F.when(
+            F.col(n) > 1,
             (
-                F.col("s2").cast("double") / 10000
-                - (F.col("s1").cast("double") / 100)
-                * (F.col("s1").cast("double") / 100)
-                / F.col("n")
+                F.col(s2).cast("double") / 10000
+                - (F.col(s1).cast("double") / 100)
+                * (F.col(s1).cast("double") / 100)
+                / F.col(n)
             )
-            / (F.col("n") - 1)
-        ).alias("var"),
-    )
-    a = stats.where(F.col("event_type") == "purchase").select(
-        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("va")
-    )
-    b = stats.where(F.col("event_type") == "click").select(
-        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("vb")
+            / (F.col(n) - 1),
+        )
+
+    stats = g.select(
+        "n_a",
+        "n_b",
+        _mean("s1a", "n_a").alias("mean_a"),
+        _mean("s1b", "n_b").alias("mean_b"),
+        _var("s1a", "s2a", "n_a").alias("va"),
+        _var("s1b", "s2b", "n_b").alias("vb"),
     )
     sa = F.col("va") / F.col("n_a")
     sb = F.col("vb") / F.col("n_b")
-    return a.crossJoin(b).select(
+    # nested whens: the outer n>1 guard makes (n-1) divisors non-zero
+    # before the inner denominator expression is ever evaluated (CASE
+    # branches evaluate lazily, so the guard also suppresses ANSI errors)
+    welch_denom = sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    return stats.select(
         "n_a",
         "n_b",
         "mean_a",
         "mean_b",
-        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)).alias("t_stat"),
-        (
-            (sa + sb) * (sa + sb)
-            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1))
+        F.when(
+            sa + sb > 0, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)
+        ).alias("t_stat"),
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1),
+            F.when(welch_denom > 0, (sa + sb) * (sa + sb) / welch_denom),
         ).alias("dof"),
     )
 

@@ -1430,8 +1430,31 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("qid", "rn", "nid", F.round("cos", 6).alias("cos"))
     )
-    exact = llm_ann_brute(spark, sf_dir).select(
-        "qid", "rn", F.col("nid").alias("exact_nid")
+    # exact side computed from the SAME normalized relation ev (not
+    # llm_ann_brute, which scores raw embeddings with a different float
+    # expression tree — ulp-level near-ties in the top-3 could then flip
+    # matches_exact between engines; ADVICE r03). Mirrors the oracle's
+    # bscored/brute CTEs term for term.
+    bscored = (
+        ev.select(
+            F.col("vec_id").alias("nid"),
+            F.col("v").alias("ne"),
+            F.col("nrm").alias("nnrm"),
+        )
+        .join(F.broadcast(qs), F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            (_dot(F.col("qe"), F.col("ne")) / F.col("qnrm") / F.col("nnrm")).alias(
+                "cos"
+            ),
+        )
+    )
+    wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    exact = (
+        bscored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= 3)
+        .select("qid", "rn", F.col("nid").alias("exact_nid"))
     )
     return mine.join(exact, ["qid", "rn"]).select(
         "qid",

@@ -822,6 +822,18 @@ def stream_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # a source with zero micro-batches (empty events dir) writes no
+    # partials — reading an empty dir raises, so fall back to an empty
+    # view with the same schema instead
+    has_parts = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(part_dir)
+        for f in files
+    )
+    if not has_parts:
+        return spark.createDataFrame(
+            [], "c_mktsegment string, n_purchases long, revenue double"
+        )
     parts = spark.read.option("recursiveFileLookup", "true").parquet(part_dir)
     view = parts.groupBy("c_mktsegment").agg(
         F.sum("n").cast("long").alias("n_purchases"),
