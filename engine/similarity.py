@@ -1164,7 +1164,11 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_SUB = 8  # subspaces
 _PQ_SUBDIM = _DIM // _PQ_SUB
 _PQ_K = 16  # codes per subspace (4-bit)
-_PQ_SHORTLIST = 64
+# 256 (r04, VERDICT item 5): the measured frontier at sf0.1 gives
+# recall@3 0.550 at a 5.1% exact-scan fraction vs 0.317 at 64/1.3% —
+# the right operating point when the re-rank is the quality gate and
+# the codes scan (4 B/vector) is the cost floor either way.
+_PQ_SHORTLIST = 256
 _PQ_NQ = 20
 _PQ_ADC_GRID = 1_000_000_000  # 1e-9 ADC lane grid (exact BIGINT lane sums)
 
