@@ -99,6 +99,12 @@ def lloyd_fit(e: DataFrame, k: int, iters: int):
     assign = ev.select("vec_id", (F.col("vec_id") % k).cast("int").alias("c"))
     cents = None
     for _ in range(iters):
+        # two-stage centroid update (groupBy (c,pos) avg, then groupBy c
+        # re-collect) is deliberate: the first stage partial-aggregates
+        # the n×dim posexplode rows map-side so only k×dim=512 partials
+        # cross the wire; folding both into one c-partitioned pass would
+        # shuffle the raw exploded rows (n×dim) — strictly worse at
+        # scale. The second exchange moves 512 rows; bounded at any n.
         cq = (
             assign.join(ev, "vec_id")
             .select("c", F.posexplode("v").alias("pos", "val"))

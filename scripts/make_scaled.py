@@ -61,6 +61,12 @@ def main() -> None:
 
     spark = get_spark(app="make_scaled")
     spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, dst, factor)
+
+
+def build(spark, src: str, dst: str, factor: int = 10) -> None:
+    """Materialize the scaled copy (importable — bench.py builds the sf1
+    fixture through this on first use, marker-cached under dst)."""
     t = load_tables(spark, src)
 
     # per-table (pk/fk column → stride) offsets; stride = max(pk)+1 once
@@ -145,7 +151,13 @@ def main() -> None:
             for rep in reps[1:]:
                 out = out.unionByName(rep)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
-        print(f"wrote {name}: {spark.read.parquet(os.path.join(dst, name + '.parquet')).count()} rows")
+        # stderr: bench.py imports build() and its stdout must stay a
+        # single JSON line for the driver
+        print(
+            f"wrote {name}: "
+            f"{spark.read.parquet(os.path.join(dst, name + '.parquet')).count()} rows",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -387,3 +387,56 @@ def test_join_ivm_broadcasts_deltas(spark, sf_dir):
     s = _plan(spark, "cdc_join_ivm", sf_dir)
     assert s.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in s
+
+
+def test_fuzzy_blocked_is_equi_join(spark, sf_dir):
+    """join_fuzzy_blocked: the blocking key must make this an EQUI join
+    (hash-partitionable) with levenshtein as a post-join residual — a
+    nested-loop θ-join on edit distance would be O(n²) at any scale."""
+    s = _plan(spark, "join_fuzzy_blocked", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert (
+        "BroadcastHashJoin" in s or "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    ), "no equi join in fuzzy-blocked plan"
+    assert "levenshtein" in s, "edit-distance verify missing from plan"
+
+
+def test_spatial_grid_no_cartesian(spark, sf_dir):
+    """join_spatial_grid: candidates come from the 9-cell neighborhood
+    explode joined EQUI on cell ids; the exact distance predicate is a
+    residual. No cartesian/nested-loop anywhere."""
+    s = _plan(spark, "join_spatial_grid", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Generate explode" in s or "Generate" in s, "9-cell explode missing"
+    assert (
+        "BroadcastHashJoin" in s or "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    ), "no equi join in spatial-grid plan"
+
+
+def test_ann_pq_broadcasts_adc_and_codebooks(spark, sf_dir):
+    """llm_ann_pq: codebooks, ADC table, and the query set are the small
+    sides and must broadcast; the normalized relation is checkpointed so
+    the final plan re-reads NO parquet (codes are the only full scan of
+    derived data); nothing may go cartesian — a per-pair vector join is
+    the scale-killer this design exists to avoid."""
+    s = _plan(spark, "llm_ann_pq", sf_dir)
+    assert "CartesianProduct" not in s
+    assert s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoopJoin") >= 3
+    assert "Scan parquet" not in s, (
+        "PQ plan re-reads parquet — the localCheckpoint lineage cut "
+        "of the shared normalized relation is gone"
+    )
+
+
+def test_bpe_train_rounds_on_checkpointed_symbols(spark, sf_dir):
+    """llm_bpe_train: every merge round operates on the checkpointed
+    vocab-sized symbol relation — the final plan must not re-read the
+    documents parquet (corpus is touched once, before the first cut),
+    and the per-round best-pair pick must broadcast back (1-row)."""
+    s = _plan(spark, "llm_bpe_train", sf_dir)
+    assert "Scan parquet" not in s, (
+        "BPE plan re-reads the corpus — a lineage cut is missing"
+    )
+    assert "CartesianProduct" not in s, "1-row best-pair cross must broadcast"
