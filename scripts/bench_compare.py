@@ -51,15 +51,23 @@ def main() -> None:
 
     registry.load_all()
     spark = get_spark(app="bench-compare")
+    # Arrow-backed toPandas: the DuckDB side materializes its result as a
+    # pandas frame (vectorized, native); Spark's row-based .collect()
+    # builds one Python Row object per result row, which at ~1M output
+    # rows costs ~7 s of pure driver-side object churn that the engine
+    # never spends (measured: win_sessionize sf1 = 1.0 s to a noop sink,
+    # 7.8 s to .collect(), 0.5 s to Arrow toPandas). Both engines now
+    # land in a pandas DataFrame — symmetric materialization work.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     rows = []
     for k in keys:
         fn = registry.QUERIES[k]
-        fn(spark, sf_dir).collect()  # warm (plan compile, fixture cache)
+        fn(spark, sf_dir).toPandas()  # warm (plan compile, fixture cache)
         s_times = []
         for _ in range(reps):
             t0 = time.time()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             s_times.append(time.time() - t0)
         d_times = None
         sql = registry.ORACLE_SQL.get(k)
