@@ -119,9 +119,10 @@ def main() -> None:
     # the ~0.25-0.6 s local-mode fixed cost per query; the 10×-scaled
     # fixture is where the engine's growth profile is visible in the
     # recorded JSON rather than only in BENCH.md prose. Built once via
-    # scripts/make_scaled.py, marker-cached; min-of-2 interleaved rounds
-    # (each sf1 round is ~10× the work, and min-of-N only needs one
-    # stall-free rep per key).
+    # scripts/make_scaled.py, marker-cached; min-of-3 interleaved rounds
+    # (min-of-2 left measured 20-35 s host stalls in the min column when
+    # a spike landed in both reps of a key; a third round costs ~1 min
+    # and restores the stall isolation the sf0.1 block gets from 5).
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/engine_sf1")
@@ -138,7 +139,7 @@ def main() -> None:
             from engine.io import shuffle_partitions_for as spf
 
             spark.conf.set("spark.sql.shuffle.partitions", spf(sf1_dir))
-            t1, s1 = summarize(bench_at(sf1_dir, 2))
+            t1, s1 = summarize(bench_at(sf1_dir, 3))
             out["sf1"] = {
                 "value": round(sum(t1[n] for n in HEADLINE), 4),
                 "queries": t1,
