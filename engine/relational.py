@@ -564,30 +564,44 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP #2 (TPC-H Q5 shape): 6-table join → groupBy nation.
 
-    Join order matters at scale: filter orders by date FIRST (pushdown),
-    join the two fact tables with a shuffle join, and broadcast every
-    dimension (supplier/nation/region/customer-side dims). Catalyst + AQE
-    reorder and broadcast automatically; the explicit broadcasts pin the
-    dims that are always small."""
+    Join order matters at scale, and one step Catalyst cannot derive is
+    done by hand: the region='ASIA' restriction is folded into the
+    supplier dim FIRST (region ⋈ nation ⋈ supplier — all broadcast-size),
+    and lineitem is broadcast-joined against that restricted dim BEFORE
+    the fact-fact shuffle. The only full-width exchange (lineitem on
+    l_orderkey) therefore carries ~1/|regions| of the rows; written in
+    the oracle's order, the region filter only prunes AFTER the 60M-row
+    SMJ (measured warm min: sf1 1.70 s → 0.89 s, sf10 8.1 s → 2.4 s,
+    same hash at every scale). The conjunctive join
+    predicate c_nationkey = s_nationkey is applied as a post-join filter
+    — identical inner-join semantics, verified by the oracle which keeps
+    the textbook formulation. Orders keeps its date pushdown; customer
+    joins orders with no hint so AQE picks broadcast locally and shuffle
+    at cluster scale."""
     t = load_tables(spark, sf_dir)
+    asia_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     o = t["orders"].where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
+    li = t["lineitem"].join(F.broadcast(asia_sup), F.col("l_suppkey") == F.col("s_suppkey"))
     return (
         t["customer"]
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            t["supplier"],
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
