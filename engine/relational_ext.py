@@ -91,12 +91,14 @@ def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between a nation pair by
     ship year.
 
-    The nation-pair disjunction is applied where it belongs: each nation
-    dim is pre-filtered to the two named nations and broadcast, so the
-    fact rows for the other 23 nations are dropped AT THE JOIN (a
-    broadcast-hash probe miss), never shuffled. The surviving pair
-    predicate is re-checked post-join; one shuffle total (lineitem⋈orders
-    on orderkey)."""
+    The nation-pair restriction is folded into BOTH fact inputs before
+    the one real shuffle (the Q5 lesson, engine/relational.py): supplier
+    and customer are each pre-joined to their pair-filtered nation dim
+    and broadcast against their fact, so lineitem and orders rows for
+    the other 23 nations are dropped by a broadcast-hash probe miss
+    BEFORE the lineitem⋈orders exchange ever sees them (~2/25 of the
+    rows shuffle instead of all). The surviving pair predicate is
+    re-checked post-join; one shuffle total (orderkey)."""
     t = load_tables(spark, sf_dir)
     pair = ("NATION_1", "NATION_2")
     n1 = t["nation"].where(F.col("n_name").isin(*pair)).select(
@@ -105,13 +107,25 @@ def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t["nation"].where(F.col("n_name").isin(*pair)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    sup_pair = (
+        t["supplier"]
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_pair = (
+        t["customer"]
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(sup_pair), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].join(
+                F.broadcast(cust_pair), F.col("o_custkey") == F.col("c_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
