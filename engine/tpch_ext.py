@@ -266,8 +266,15 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        # ASIA restriction folded into orders BEFORE the orderkey shuffle
+        # (the Q5 lesson): non-ASIA orders drop on a broadcast probe miss
+        # instead of crossing the one real exchange.
+        .join(
+            t["orders"].join(
+                F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
             F.col("l_suppkey") == F.col("s_suppkey"),
