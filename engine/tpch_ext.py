@@ -588,19 +588,22 @@ def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the average and the 0.5× threshold are bit-identical across
     engines; the comparison can never flip. The revenue side uses exact
     cents. Filters on brand/type reach the part scan; at scale the
-    per-part AVG and the probe share the partkey partitioning."""
+    per-part AVG and the probe share the partkey partitioning.
+
+    The per-part AVG is computed over the BRAND-RESTRICTED lineitem, not
+    the whole fact (the Q5 broadcast-restriction lesson): a per-partkey
+    average is unchanged by dropping other partkeys, and the later inner
+    join discards them anyway, so aggregating them first would shuffle
+    ~1000× the needed rows purely to throw the groups away."""
     t = load_tables(spark, sf_dir)
-    pa = (
-        t["lineitem"]
-        .groupBy("l_partkey")
-        .agg(F.avg("l_quantity").alias("avg_qty"))
-        .withColumnRenamed("l_partkey", "pa_partkey")
-    )
     p = t["part"].where((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL"))
-    li = t["lineitem"]
+    li = t["lineitem"].join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        li.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100 / 7.0).alias(
