@@ -85,18 +85,15 @@ def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⋈ nation ⋈ region dimension chain is broadcast; only the supply
     relation (distinct pairs) shuffles. At 100 TB the pair aggregation
     is the only large exchange and it is also the window's partitioning
-    — one shuffle total, AQE-coalesced."""
+    — one shuffle total, AQE-coalesced.
+
+    Both dim restrictions are folded into the fact BEFORE that pair
+    aggregate (the Q5/Q17 lesson): non-EUROPE suppliers and non-small
+    parts are dropped by broadcast probe misses pre-shuffle. Safe on
+    both axes — the window MIN runs over EU rows only in either
+    formulation, and removing a partkey removes a whole window
+    partition, never a competitor within one."""
     t = load_tables(spark, sf_dir)
-    ps = (
-        # zero-quantity lines have no unit price — excluded (mirrored in
-        # the oracle; ANSI raises on the division otherwise)
-        t["lineitem"]
-        .where(F.col("l_quantity") > 0)
-        .groupBy(
-            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-        )
-        .agg(F.min(_cents(F.col("l_extendedprice") / F.col("l_quantity"))).alias("cost_cents"))
-    )
     eu = (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -104,13 +101,25 @@ def join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "n_name")
     )
+    p = t["part"].where((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+    ps = (
+        # zero-quantity lines have no unit price — excluded (mirrored in
+        # the oracle; ANSI raises on the division otherwise)
+        t["lineitem"]
+        .where(F.col("l_quantity") > 0)
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(_cents(F.col("l_extendedprice") / F.col("l_quantity"))).alias("cost_cents"))
+    )
     w = Window.partitionBy("partkey")
     costs = (
         ps.join(F.broadcast(eu), ps.suppkey == eu.s_suppkey)
         .withColumn("min_cost", F.min("cost_cents").over(w))
         .where(F.col("cost_cents") == F.col("min_cost"))
     )
-    p = t["part"].where((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
     return costs.join(F.broadcast(p), costs.partkey == p.p_partkey).select(
         "partkey",
         "p_name",
