@@ -440,3 +440,30 @@ def test_bpe_train_rounds_on_checkpointed_symbols(spark, sf_dir):
         "BPE plan re-reads the corpus — a lineage cut is missing"
     )
     assert "CartesianProduct" not in s, "1-row best-pair cross must broadcast"
+
+
+def test_q5_region_restriction_precedes_fact_shuffle(spark, sf_dir):
+    """agg_revenue_by_nation (r04 rework): the region='ASIA' restriction
+    must be folded into the supplier dim and broadcast-probed against
+    lineitem BEFORE the l_orderkey exchange — the transitive restriction
+    Catalyst cannot derive. Pin: the r_name filter's join sits under the
+    lineitem side of the orderkey join, i.e. lineitem's exchange input
+    already contains a BroadcastHashJoin on l_suppkey."""
+    s = _plan(spark, "agg_revenue_by_nation", sf_dir)
+    assert "EqualTo(r_name,ASIA)" in s, "region filter not pushed to scan"
+    # the lineitem-side pre-restriction join must exist (a broadcast hash
+    # probe keyed on l_suppkey; formatted mode prints keys on their own
+    # line) and the facts must not broadcast-nest
+    assert "Left keys [1]: [l_suppkey#" in s, (
+        "lineitem is no longer pre-restricted by the region-filtered "
+        "supplier dim before the fact shuffle"
+    )
+    assert "CartesianProduct" not in s
+
+
+def test_q7_pair_restriction_precedes_fact_shuffle(spark, sf_dir):
+    """agg_volume_shipping (r04 rework): both facts pre-restricted to
+    the nation pair via broadcast probes before the orderkey exchange."""
+    s = _plan(spark, "agg_volume_shipping", sf_dir)
+    assert "Left keys [1]: [l_suppkey#" in s, "lineitem not pre-restricted"
+    assert "Left keys [1]: [o_custkey#" in s, "orders not pre-restricted"
