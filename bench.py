@@ -69,6 +69,12 @@ def main() -> None:
     # the core-count default, no regression on the heavy keys.
     spark = get_spark(app="bench", shuffle_partitions=shuffle_partitions_for(sf_dir))
     spark.sparkContext.setLogLevel("ERROR")
+    # scan-side twin of the input-sized shuffle partitioning (engine/io.py:
+    # max_partition_bytes_for) — feeds all cores on scan-bound shapes when
+    # the fixture's file count would otherwise cap parallelism
+    from engine.io import max_partition_bytes_for
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf_dir))
     spark.range(1_000_000).count()  # JVM/codegen warm-up
 
     def bench_at(dir_: str, rounds: int) -> dict[str, list[float]]:
@@ -139,6 +145,9 @@ def main() -> None:
             from engine.io import shuffle_partitions_for as spf
 
             spark.conf.set("spark.sql.shuffle.partitions", spf(sf1_dir))
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf1_dir)
+            )
             t1, s1 = summarize(bench_at(sf1_dir, 3))
             out["sf1"] = {
                 "value": round(sum(t1[n] for n in HEADLINE), 4),

@@ -99,6 +99,32 @@ def shuffle_partitions_for(sf_dir: str, cap: int = 32) -> int:
     return max(8, min(cap, total // (2 << 20) or 8))
 
 
+def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
+    """Size ``spark.sql.files.maxPartitionBytes`` to the input — the scan-side
+    sibling of :func:`shuffle_partitions_for`.
+
+    The cluster rule is 128 MB–1 GB per scan partition (thousands of tasks
+    at 100 TB); the LOCAL-mode inverse is that a 1.6 GB fixture at the
+    128 MB default packs into ~12 input splits and leaves 32 cores
+    under-fed on scan-bound shapes. Target ≈ total-input / (2 × cores)
+    so every core gets ~2 scan tasks, clamped to [16 MB, 128 MB]
+    (measured sf10 pricing summary: 128 MB → 1.04 s, 32 MB → 0.81 s,
+    16 MB → 0.75 s warm min; no effect below one row group). On a real
+    cluster the default stands — this helper exists for single-host
+    benching where the file count, not the data, is the parallelism cap.
+    """
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+        )
+    except OSError:
+        return "128m"
+    mb = total // (2 * cores) // (1 << 20)
+    return f"{max(16, min(128, mb or 16))}m"
+
+
 def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a local session sized for this machine.
 
