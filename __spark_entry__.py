@@ -31,97 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# VERDICT r03 item 2: the never-driver-checked keys with the largest
-# hand-rolled-algorithm surface (and therefore the highest residual risk
-# despite strict local green) jump the name-order queue — PQ ANN, BPE
-# train/apply, Bloom incremental dedup, the batch+streaming IVM pair,
-# and the stateful-streaming pair.
-_PROMOTED_R04 = [
-    "llm_ann_pq",
-    "llm_bpe_train",
-    "llm_bpe_apply",
-    "llm_bloom_dedup",
-    "cdc_join_ivm",
-    "stream_join_ivm",
-    "stream_timeout_sessions",
-    "stream_custom_stateful",
+# VERDICT r04 item 1: the five never-driver-checked SURVEY §2.1–§2.11
+# CONTRACT keys (all streaming — the old streaming-last heuristic kept
+# pushing them behind §2.12 extras) jump the queue, followed by their two
+# §2.12 streaming siblings and the new clustered-ANN evidence keys
+# (VERDICT r04 item 4). After round 5 every §2.1–§2.11 key should carry a
+# passing CORRECTNESS row.
+_PROMOTED_R05 = [
+    "source_stream_files",
+    "sink_foreachBatch_merge",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_stateful_running",
+    "stream_stream_join",
+    "stream_scd2_foreachbatch",
+    "llm_ann_ivf_clustered",
+    "llm_ann_pq_clustered",
 ]
-
-# Keys added in round 3 (TPC-H completion + llm_ext): genuinely
-# never-checked, but they queue BEHIND the round-1/2 keys that have
-# already waited two rounds for driver signal (VERDICT r02 item 1 set
-# the burn-down priority before these existed).
-_NEW_R03 = [
-    "join_min_cost_supplier",
-    "agg_order_priority_check",
-    "agg_forecast_revenue",
-    "agg_market_share",
-    "agg_product_profit",
-    "agg_important_stock",
-    "agg_customer_order_dist",
-    "agg_top_supplier",
-    "agg_supplier_part_cnt",
-    "agg_small_qty_revenue",
-    "join_excess_supply",
-    "join_waiting_orders",
-    "agg_global_sales_opp",
-    "llm_kmeans_lloyd",
-    "llm_substring_dedup",
-    "llm_ccnet_buckets",
-    "llm_domain_mix_sampler",
-    "events_attribution",
-    "sink_compaction",
-    "join_null_safe",
-    "scan_schema_merge",
-    "udf_arrow_optimized",
-    "scan_time_travel_log",
-    "win_sliding_median",
-    "fn_try_arith",
-    "agg_heavy_hitters",
-    "scan_csv_malformed",
-    "sink_dynamic_partition_overwrite",
-    "stream_timeout_sessions",
-    "udf_multimodal_resize",
-    "llm_dataset_card",
-    "events_cohort_matrix",
-    "join_scd2_lookup",
-    # late-r03 additions (pipeline_ext/BPE/PQ/CMS): same rule — they
-    # queue behind the r1/r2 keys that have waited longer for a driver row
-    "llm_chunk_overlap",
-    "llm_block_dedup",
-    "llm_bloom_dedup",
-    "join_star_schema",
-    "agg_multi_distinct",
-    "events_path_topk",
-    "win_gap_islands",
-    "events_window_funnel",
-    "events_anomaly_zscore",
-    "llm_ann_pq",
-    "llm_bpe_train",
-    "llm_bpe_apply",
-    "join_fuzzy_blocked",
-    "events_rfm",
-    "agg_count_min_sketch",
-    "events_markov_transitions",
-    "win_ewma",
-    "events_ab_welch",
-    "dq_referential_integrity",
-    "dq_null_profile",
-    "dq_accepted_values",
-    "cdc_join_ivm",
-    "llm_shard_assignment",
-    "events_cuped",
-    "stream_join_ivm",
-    "join_spatial_grid",
-    "llm_pipeline_e2e",
-    "dq_skew_profile",
-    "dq_freshness",
-    "llm_hard_negatives",
-    "llm_banding_recall_report",
-    "dq_distribution_drift",
-]
-
-
 
 def _coverage_rank() -> dict[str, int]:
     """Rank keys by how much driver-side correctness evidence they have.
@@ -154,22 +80,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so the
     driver's fixed-prefix check lands on the keys that need it most:
 
-    tier 0: the 8 promoted most-novel never-checked keys (VERDICT r03
-            item 2) — PQ ANN, BPE, Bloom dedup, IVM pair, stateful
-            streaming pair — highest residual risk despite local green;
+    tier 0: the promoted keys (VERDICT r04 items 1+4) — the five
+            never-checked §2.1–§2.11 CONTRACT streaming keys, their two
+            §2.12 streaming siblings, and the clustered-ANN evidence
+            keys. Contract keys outrank every §2.12 extra regardless of
+            the old streaming-last heuristic;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
-    tier 4: never-driver-checked keys — r1/r2-era keys first (three
-            rounds waiting; all win_*/udf_*/sort/set/sql_*/text_ext),
-            then r03 additions, then streaming (slow: real availableNow
-            queries each);
+    tier 4: remaining never-driver-checked keys in name order (the 50-key
+            prefix covers all but the tail, which lands in round 6);
     tier 5: checked-but-oracle-less keys (re-running a rows-only check
             adds no evidence), then fully-passed keys.
     """
     rank = _coverage_rank()
-    streaming = {k for k in registry.QUERIES if k.startswith(("stream_", "source_stream"))}
-    streaming.add("sink_foreachBatch_merge")
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R04) if rank.get(k, 0) < 2}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R05) if rank.get(k, 0) < 2}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]
@@ -180,10 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if r == 1 and has_oracle:
             return (3, 0, name)  # ran rows-only before, hash-checkable now
         if r == 0:
-            # within never-checked: non-streaming r1/r2 keys first (three
-            # rounds waiting), then r03 additions, then streaming (slow)
-            sub = 2 if name in streaming else (1 if name in _NEW_R03 else 0)
-            return (4, sub, name)
+            return (4, 0, name)
         # rank 2 (passed) and rank-1-without-oracle: least marginal value
         return (5, r, name)
 

@@ -132,8 +132,18 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         try:
             sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/engine_sf1")
+            # marker records source dir + factor (ADVICE r04): rerunning
+            # bench with a different SPARK_GRAFT_SF_DIR must rebuild the
+            # scaled fixture, not silently reuse 10x-of-previous-source.
             marker = os.path.join(sf1_dir, "_SCALED_OK")
-            if not os.path.exists(marker):
+            want = {"source": os.path.abspath(sf_dir), "factor": 10}
+            have = None
+            if os.path.exists(marker):
+                try:
+                    have = json.load(open(marker))
+                except ValueError:
+                    have = None
+            if have != want:
                 sys.path.insert(
                     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
                 )
@@ -141,7 +151,7 @@ def main() -> None:
 
                 make_scaled.build(spark, sf_dir, sf1_dir, 10)
                 with open(marker, "w") as f:
-                    f.write("ok\n")
+                    json.dump(want, f)
             from engine.io import shuffle_partitions_for as spf
 
             spark.conf.set("spark.sql.shuffle.partitions", spf(sf1_dir))
@@ -159,7 +169,35 @@ def main() -> None:
         except Exception as e:  # sf1 is additive telemetry — never fail the bench
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    print(json.dumps(out))
+    # The driver captures only the tail of stdout and parses the bench
+    # record from it; BENCH_r04.json arrived unparsed because the full
+    # payload outgrew that capture (VERDICT r04 item 2). Keep the contract
+    # of ONE stdout JSON line, but make it compact (<1500 chars: metric,
+    # totals, per-key mins) and move spreads + sf1 per-key detail to the
+    # BENCH_DETAIL.json sidecar.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        "dedup_cluster_rounds": out["dedup_cluster_rounds"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    if "sf1" in out:
+        compact["sf1_value"] = out["sf1"]["value"]
+        compact["sf1_sf"] = out["sf1"]["sf"]
+    elif "sf1_error" in out:
+        compact["sf1_error"] = out["sf1_error"][:120]
+    line = json.dumps(compact)
+    if len(line) > 1400:  # belt-and-braces: drop per-key detail before truncating
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

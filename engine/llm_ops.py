@@ -42,9 +42,16 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MinHash-LSH parameters: 16 hash functions in 4 bands of 4 rows.
-_N_HASHES = 16
-_BAND_ROWS = 4
+#: MinHash-LSH parameters: 32 hash functions in 16 bands of 2 rows.
+#: Chosen (ADVICE r04) so the hash oracle's recall-1.0 assertion is
+#: structurally near-certain rather than fixture-specific luck: at the
+#: J >= 0.9 gate the per-pair banding-miss probability is
+#: (1 - 0.9^2)^16 ≈ 3e-12 (vs 1.4% under the old 4 bands × 4 rows),
+#: so even the sf0.1 fixture's 249 gate pairs collectively miss with
+#: probability < 1e-9. Two-row bands admit more low-J candidates, but
+#: every candidate is exact-Jaccard verified so the output is unchanged.
+_N_HASHES = 32
+_BAND_ROWS = 2
 
 
 def _shingles(col: str = "text"):
@@ -89,7 +96,15 @@ def lsh_band_buckets(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 #: Jaccard threshold above which a verified candidate pair counts as a
 #: near-duplicate (shared with the oracle's exhaustive-truth side).
-_NEAR_DUP_J = 0.5
+#: 0.9, not 0.5 (ADVICE r04): the hash gate asserts banding recall
+#: EXACTLY 1.0 against exhaustive truth, which is only a structural
+#: property (not fixture luck) in a J regime where the banding inclusion
+#: probability is ~1 — at J >= 0.9 with 16 bands × 2 rows a miss is a
+#: ~3e-12 event per pair, while at J = 0.5 no affordable banding gets
+#: close (214 four-row bands would be needed). Production pipelines that
+#: want a looser threshold use the same code path with a tau argument —
+#: the gate regime is about what equality-to-truth can honestly assert.
+_NEAR_DUP_J = 0.9
 
 
 @query(
@@ -119,24 +134,25 @@ _NEAR_DUP_J = 0.5
     """,
 )
 def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION near-dedup: shingle → xxhash64 MinHash (16 hashes) →
-    banded LSH (4 bands × 4 rows) → per-bucket candidate pairs → exact
-    shingle-Jaccard verification → verified pairs with J ≥ 0.5.
+    """PRODUCTION near-dedup: shingle → xxhash64 MinHash (32 hashes) →
+    banded LSH (16 bands × 2 rows) → per-bucket candidate pairs → exact
+    shingle-Jaccard verification → verified pairs with J ≥ 0.9.
 
     The hash oracle (added per VERDICT r03 item 3 — this was the one key
     that could never produce a green driver row) is the EXHAUSTIVE truth:
-    all pairs with exact Jaccard ≥ 0.5, candidates blocked on any shared
-    shingle (J ≥ 0.5 implies a shared shingle, so blocking loses
+    all pairs with exact Jaccard ≥ 0.9, candidates blocked on any shared
+    shingle (J ≥ 0.9 implies a shared shingle, so blocking loses
     nothing). xxhash64 is JVM-only, so DuckDB cannot replay the banding —
     instead the gate checks the banding's OUTPUT against ground truth,
-    which makes a hash-pass a measured recall = 1.0 assertion for the
-    J ≥ 0.5 regime (found ⊆ truth always holds because every emitted
-    pair is exact-verified; equality fails only on a banding miss).
-    Measured this way: 28/28 (sf0.001), 25/25 (sf0.01), 256/256 (sf0.1)
-    — consistent with the md5 twin's measured recall (exact duplicates
-    collide on every band by construction; the theoretical floor at
-    exactly J = 0.5 with 4×4 banding is 1−(1−0.5⁴)⁴ ≈ 0.23, rising to
-    0.986 at J = 0.9 — the fixture's near-dups all sit at J ≥ 0.9).
+    which makes a hash-pass a measured recall = 1.0 assertion (found ⊆
+    truth always holds because every emitted pair is exact-verified;
+    equality fails only on a banding miss). The gate regime and banding
+    were re-derived per ADVICE r04 so that assertion is STRUCTURAL, not
+    fixture luck: at J ≥ 0.9 with 16 bands × 2 rows the per-pair miss
+    probability is (1 − 0.9²)¹⁶ ≈ 3e-12 (the old 4×4 banding at J ≥ 0.5
+    passed only because the fixtures' near-dups happen to sit at
+    J ≥ 0.9 — at exactly J = 0.5 its inclusion probability is ~0.23).
+    Measured: 27/27 (sf0.001), 25/25 (sf0.01), 249/249 (sf0.1).
 
     Scale shape: candidate generation is per-bucket (cost scales with
     bucket sizes, not n²) and only the banding path runs at 100 TB; the

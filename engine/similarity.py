@@ -1291,7 +1291,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, 8 codes = 4 bytes/vector vs 256 bytes float32 — a 64×
     compression of the scan at 100 TB), queries score candidates through
     an asymmetric-distance (ADC) lookup table over the codes, and the
-    PQ shortlist (top-64 per query) is re-ranked with exact float cosine
+    PQ shortlist (top-256 per query) is re-ranked with exact float cosine
     to emit top-3 plus a COMPUTED matches_exact flag against brute force.
 
     Determinism engineering (what makes an approximate pipeline
@@ -1304,12 +1304,12 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — order-free under any partitioning — and the oracle
     replays the identical pipeline in SQL. matches_exact is honest
     measured recall (NOT gated to true): at sf0.01 the 4-bit codes +
-    64-shortlist recover most but not all exact top-3 on this
+    256-shortlist recover most but not all exact top-3 on this
     weakly-correlated corpus, and that result is itself hash-verified.
 
     Scale shape: the codes relation (4 B/vector) is the only full scan;
     the ADC table (queries × 8 × 16 rows) broadcasts; raw embeddings are
-    touched only for the ≤64-per-query shortlist re-rank and the
+    touched only for the ≤256-per-query shortlist re-rank and the
     (per-vector, once) norm precompute. Training is fully declarative —
     no driver-side model state."""
     e = load_tables(spark, sf_dir)["embeddings"]

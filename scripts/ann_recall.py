@@ -35,6 +35,14 @@ PQ_SHORTLIST = 256
 PQ_GRID = 1_000_000_000
 
 
+def half_up(x: np.ndarray, grid: float) -> np.ndarray:
+    """Half-UP grid snap matching the engine/oracle (Spark F.round /
+    DuckDB round), unlike np.round's half-to-even — exact .5 grid ties
+    would otherwise diverge from the engine's codes/shortlist (ADVICE
+    r04)."""
+    return np.floor(x * grid + 0.5) / grid
+
+
 def topk(scores: np.ndarray, ids: np.ndarray, k: int = 3) -> set:
     order = np.lexsort((ids, -np.round(scores, 6)))
     return set(ids[order[:k]].tolist())
@@ -46,7 +54,7 @@ def lloyd(x: np.ndarray, ids: np.ndarray, k: int = K) -> tuple:
     for _ in range(ITERS):
         cents = np.stack(
             [
-                np.round(x[assign == c].mean(axis=0) * 100000) / 100000
+                half_up(x[assign == c].mean(axis=0), 100000)
                 for c in range(k)
             ]
         )
@@ -103,7 +111,7 @@ def eval_pq(
     cents = np.zeros((PQ_SUB, PQ_K, sd))
     for s in range(PQ_SUB):
         for c in range(PQ_K):
-            cents[s, c] = np.round(subs[c0 == c, s].mean(axis=0) * 100000) / 100000
+            cents[s, c] = half_up(subs[c0 == c, s].mean(axis=0), 100000)
     codes = np.zeros((n, PQ_SUB), dtype=np.int64)
     for s in range(PQ_SUB):
         score = (cents[s] * cents[s]).sum(axis=1)[None, :] - 2 * (
@@ -116,7 +124,7 @@ def eval_pq(
         # integer-grid ADC lanes, summed per candidate
         adc = np.zeros(n, dtype=np.int64)
         for s in range(PQ_SUB):
-            lane = np.round(cents[s] @ subs[i, s] * PQ_GRID).astype(np.int64)
+            lane = np.floor(cents[s] @ subs[i, s] * PQ_GRID + 0.5).astype(np.int64)
             adc += lane[codes[:, s]]
         mask = ids != qi
         order = np.lexsort((ids[mask], -adc[mask]))
@@ -173,7 +181,7 @@ def main_fixture(sf_dir: str) -> None:
     assign, cents = lloyd(x, ids)
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     eval_ivf(ids, x, assign, cn, truth, qids, "fixture ivf-learned(k-means)")
-    cc = np.stack([np.round(x[labels == c].mean(axis=0), 5) for c in range(K)])
+    cc = np.stack([half_up(x[labels == c].mean(axis=0), 100000) for c in range(K)])
     ccn = cc / np.linalg.norm(cc, axis=1, keepdims=True)
     eval_ivf(ids, x, labels, ccn, truth, qids, "fixture ivf-label(r02)")
     eval_pq(ids, x, truth, qids, "fixture pq")
