@@ -41,15 +41,19 @@ def _dot(a, b):
     )
 
 
-def kmeans_cte_parts(k: int, iters: int) -> list[str]:
+def kmeans_cte_parts(k: int, iters: int, source: str = "embeddings") -> list[str]:
     """Unrolled Lloyd CTE chain (shared by llm_kmeans_lloyd's oracle and
     llm_ann_ivf's learned coarse quantizer): init assignment by
     vec_id % k, then `iters` rounds of (quantized centroid update →
     nearest-centroid reassign). Exposes `e(vec_id, v)`,
-    `cent{iters}(c, cent)` and `a{iters}(vec_id, c)` to the caller."""
+    `cent{iters}(c, cent)` and `a{iters}(vec_id, c)` to the caller.
+
+    ``source`` is the relation providing (vec_id, embedding) — the
+    fixture table by default, or a parenthesized derived subquery (the
+    clustered-ANN evidence keys, engine/ann_clustered.py)."""
     parts = [
         f"""
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
     a0 AS (SELECT vec_id, CAST(vec_id % {k} AS INTEGER) AS c FROM e)"""
     ]
     for i in range(1, iters + 1):

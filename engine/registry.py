@@ -41,6 +41,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from engine import (  # noqa: F401
+        ann_clustered,
         cdc,
         functions,
         io,

@@ -407,14 +407,22 @@ _IVF_CELLS = 10
 _IVF_ITERS = 2
 
 
-def _ivf_oracle() -> str:
+def ivf_oracle_ctes(
+    cells: int = _IVF_CELLS,
+    nprobe: int = _IVF_NPROBE,
+    iters: int = _IVF_ITERS,
+    source: str = "embeddings",
+) -> str:
+    """The IVF pipeline as a CTE chain (no WITH, no final SELECT) ending
+    in `mine(qid, nid, cos, rn)` — shared by llm_ann_ivf's oracle and
+    the clustered evidence key (engine/ann_clustered.py), which appends
+    recall/scan accounting on top."""
     from engine.llm_ext import kmeans_cte_parts
 
-    parts = kmeans_cte_parts(_IVF_CELLS, _IVF_ITERS)
-    last = _IVF_ITERS
+    parts = kmeans_cte_parts(cells, iters, source)
+    last = iters
     return (
-        "WITH "
-        + ",".join(parts)
+        ",".join(parts)
         + f""",
     q AS (SELECT vec_id AS qid, v AS qe FROM e
           WHERE vec_id < 20 AND list_dot_product(v, v) > 0),
@@ -428,7 +436,7 @@ def _ivf_oracle() -> str:
         WHERE list_dot_product(ct.cent, ct.cent) > 0
       )
     ),
-    probes AS (SELECT qid, c FROM qa WHERE cr <= {_IVF_NPROBE}),
+    probes AS (SELECT qid, c FROM qa WHERE cr <= {nprobe}),
     scored AS (
       SELECT p.qid, a.vec_id AS nid,
              {_sql_cos('q.qe', 'ev.v')} AS cos
@@ -437,13 +445,19 @@ def _ivf_oracle() -> str:
       JOIN e ev ON ev.vec_id = a.vec_id
       JOIN q ON q.qid = p.qid
       WHERE a.vec_id <> p.qid AND list_dot_product(ev.v, ev.v) > 0
+    ),
+    mine AS (
+      SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    )"""
     )
-    SELECT qid, nid, round(cos, 6) AS cos, rn FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS rn
-      FROM scored
-    ) WHERE rn <= 3"""
-    )
+
+
+def _ivf_oracle() -> str:
+    return "WITH " + ivf_oracle_ctes() + "\n    SELECT qid, nid, cos, rn FROM mine"
 
 
 @query("llm_ann_ivf", oracle=_ivf_oracle())
@@ -470,10 +484,24 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k of the corpus. The oracle unrolls the same Lloyd fit as a
     CTE chain, so the WHOLE pipeline — training included — hash-matches
     DuckDB. Rankings order by round(cos, 6) with c/nid tie-breaks."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return ivf_parts(e, _IVF_CELLS, _IVF_NPROBE, _IVF_ITERS)["mine"]
+
+
+def ivf_parts(
+    e: DataFrame, cells: int, nprobe: int, iters: int
+) -> dict[str, DataFrame]:
+    """The llm_ann_ivf pipeline, parameterized over (cells, nprobe,
+    iters) and the (vec_id, embedding) source relation — shared with the
+    clustered evidence key (engine/ann_clustered.py). Returns the named
+    intermediates so callers can add recall/scan accounting: `ev`
+    (non-zero corpus with norms), `q` (queries), `scored` (probed
+    candidates), `mine` (the top-3 result). Expression trees are
+    byte-identical to the pre-refactor llm_ann_ivf body, so the
+    driver-green hash of the base key is unchanged."""
     from engine.llm_ext import lloyd_fit
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    assign, cents = lloyd_fit(e, _IVF_CELLS, _IVF_ITERS)
+    assign, cents = lloyd_fit(e, cells, iters)
     # training keeps every vector (no division); scoring excludes
     # zero-norm rows on both sides (oracle mirrors)
     ev = (
@@ -492,7 +520,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents.where(_dot("cent", "cent") > 0)))
         .select("qid", "qe", "qn", "c", qcos.alias("ccos"))
         .withColumn("cr", F.row_number().over(aw))
-        .where(F.col("cr") <= _IVF_NPROBE)
+        .where(F.col("cr") <= nprobe)
         .select("qid", "qe", "qn", F.col("c").alias("p_c"))
     )
     en = ev.join(assign, "vec_id")
@@ -505,11 +533,12 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dot("qe", "v") / F.col("qn") / F.col("nn")).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.round(F.col("cos"), 6).desc(), "nid")
-    return (
+    mine = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("qid", "nid", F.round("cos", 6).alias("cos"), "rn")
     )
+    return {"ev": ev, "q": q, "scored": scored, "mine": mine}
 
 
 # ---------------------------------------------------------------------------
@@ -1173,23 +1202,25 @@ _PQ_NQ = 20
 _PQ_ADC_GRID = 1_000_000_000  # 1e-9 ADC lane grid (exact BIGINT lane sums)
 
 
-def _pq_oracle() -> str:
-    """The full PQ pipeline UNROLLED in DuckDB: same codebook training
-    (grid-snapped one-round averaging), same deterministic argmin (join
-    on the min score, then min code id), same integer-grid ADC lanes,
-    same shortlist→re-rank, and matches_exact COMPUTED against the same
-    brute force — so the whole approximate pipeline hash-matches bit for
-    bit rather than gating on perfect recall (the llm_ann_ivf model; PQ
-    through 4-bit codes cannot promise recall 1.0 on a weakly-correlated
-    corpus and the honest check is algorithm equivalence)."""
+def pq_oracle_ctes(source: str = "embeddings", shortlist_sql: str | None = None) -> str:
+    """The full PQ pipeline UNROLLED in DuckDB as a CTE chain (no WITH,
+    no final SELECT), ending in `mine(qid, rn, nid, cos)` and
+    `brute(qid, rn, exact_nid)`: same codebook training (grid-snapped
+    one-round averaging), same deterministic argmin (join on the min
+    score, then min code id), same integer-grid ADC lanes, same
+    shortlist→re-rank, brute force from the same normalized relation.
+    Shared by llm_ann_pq's oracle and the clustered evidence key
+    (engine/ann_clustered.py). ``shortlist_sql`` overrides the literal
+    shortlist bound (e.g. a ceil(4% of corpus) scalar subquery)."""
     sub, sd, k, nq, sl, grid = (
         _PQ_SUB, _PQ_SUBDIM, _PQ_K, _PQ_NQ, _PQ_SHORTLIST, _PQ_ADC_GRID
     )
+    sl = shortlist_sql if shortlist_sql is not None else str(sl)
     return f"""
-    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
                        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                              CAST(embedding AS DOUBLE[]))) AS n0
-               FROM embeddings
+               FROM {source}
                WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
                                       CAST(embedding AS DOUBLE[])) > 0),
     e AS (SELECT vec_id, list_transform(v0, x -> x / n0) AS v FROM e0),
@@ -1278,10 +1309,18 @@ def _pq_oracle() -> str:
           PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         FROM bscored
       ) WHERE rn <= 3
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    return (
+        "WITH "
+        + pq_oracle_ctes()
+        + """
     SELECT m.qid, m.rn, m.nid, m.cos, m.nid = b.exact_nid AS matches_exact
     FROM mine m JOIN brute b ON m.qid = b.qid AND m.rn = b.rn
     """
+    )
 
 
 @query("llm_ann_pq", oracle=_pq_oracle())
@@ -1313,6 +1352,28 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-vector, once) norm precompute. Training is fully declarative —
     no driver-side model state."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    p = pq_parts(e)
+    return p["mine"].join(p["exact"], ["qid", "rn"]).select(
+        "qid",
+        "rn",
+        "nid",
+        "cos",
+        (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
+    )
+
+
+def pq_parts(e: DataFrame, shortlist_frac_pct: int | None = None) -> dict[str, DataFrame]:
+    """The llm_ann_pq pipeline, parameterized over the (vec_id,
+    embedding) source relation and the shortlist bound — shared with the
+    clustered evidence key (engine/ann_clustered.py).
+    ``shortlist_frac_pct`` is None for the base key's literal
+    _PQ_SHORTLIST (expression trees then byte-identical to the
+    pre-refactor body, so the driver-green hash of llm_ann_pq is
+    unchanged) or an integer percentage for a corpus-proportional bound
+    (ceil(n·pct/100), computed via a broadcast 1-row count — no driver
+    collect). Returns named intermediates: `ev` (normalized corpus),
+    `qs` (queries), `mine` (top-3 after re-rank), `exact` (brute
+    top-3)."""
     # zero-norm vectors excluded, survivors L2-NORMALIZED before PQ
     # (cosine-metric PQ trains on unit vectors — also bounds every ADC
     # lane dot to [-1, 1] so the 1e-9 integer grid can never overflow a
@@ -1407,9 +1468,23 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wS = Window.partitionBy("qid").orderBy(F.col("acos_").desc(), "nid")
-    shortlist = with_nrm.withColumn("arn", F.row_number().over(wS)).where(
-        F.col("arn") <= _PQ_SHORTLIST
-    )
+    if shortlist_frac_pct is None:
+        shortlist = with_nrm.withColumn("arn", F.row_number().over(wS)).where(
+            F.col("arn") <= _PQ_SHORTLIST
+        )
+    else:
+        # corpus-proportional bound, exact integer ceil in BOTH engines:
+        # (n*pct + 99) div 100 == ceil(n * pct/100) — no float pct
+        ncnt = ev.groupBy().agg(F.count("*").alias("n_corpus"))
+        shortlist = (
+            with_nrm.crossJoin(F.broadcast(ncnt))
+            .withColumn("arn", F.row_number().over(wS))
+            .where(
+                F.col("arn")
+                <= F.expr(f"(n_corpus * {shortlist_frac_pct} + 99) div 100")
+            )
+            .drop("n_corpus")
+        )
     rescored = (
         shortlist.join(
             ev.select(
@@ -1460,13 +1535,7 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("qid", "rn", F.col("nid").alias("exact_nid"))
     )
-    return mine.join(exact, ["qid", "rn"]).select(
-        "qid",
-        "rn",
-        "nid",
-        "cos",
-        (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
-    )
+    return {"ev": ev, "qs": qs, "mine": mine, "exact": exact}
 
 
 @query(
