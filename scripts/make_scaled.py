@@ -150,13 +150,16 @@ def build(spark, src: str, dst: str, factor: int = 10) -> None:
             out = reps[0]
             for rep in reps[1:]:
                 out = out.unionByName(rep)
-        # bounded row groups (VERDICT r04 item 5): the fixture's default
-        # 128 MB groups leave each output file a SINGLE row group at these
-        # sizes, and Spark's maxPartitionBytes split works at row-group
-        # granularity — so scan-bound keys (pricing summary, snapshot
-        # diff, centroids) could not use intra-file parallelism at sf10
-        # while DuckDB parallelizes inside one group. 16 MB groups give
-        # the scheduler ~4-40 splittable units per file at sf1-sf10.
+        # scan-parallelism floor (VERDICT r04 item 5): a replica union
+        # inherits `factor` input partitions, so sf1 (factor=10) wrote 10
+        # files × one 128 MB-bounded row group each — a 10-way scan
+        # ceiling on 32 cores for the scan-bound keys (pricing summary,
+        # snapshot diff, centroids), while DuckDB parallelizes inside a
+        # single row group. Repartition facts to ≥32 output files and
+        # bound groups at 16 MB so every scale factor yields at least
+        # cores-many splittable units.
+        if name not in ("region", "nation"):
+            out = out.repartition(max(32, factor))
         out.write.option("parquet.block.size", 16 * 1024 * 1024).mode(
             "overwrite"
         ).parquet(os.path.join(dst, f"{name}.parquet"))
