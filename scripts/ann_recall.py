@@ -36,11 +36,15 @@ PQ_GRID = 1_000_000_000
 
 
 def half_up(x: np.ndarray, grid: float) -> np.ndarray:
-    """Half-UP grid snap matching the engine/oracle (Spark F.round /
-    DuckDB round), unlike np.round's half-to-even — exact .5 grid ties
-    would otherwise diverge from the engine's codes/shortlist (ADVICE
-    r04)."""
-    return np.floor(x * grid + 0.5) / grid
+    """HALF_UP (round half away from zero) grid snap matching the
+    engine/oracle (Spark F.round / DuckDB round), unlike np.round's
+    half-to-even — exact .5 grid ties would otherwise diverge from the
+    engine's codes/shortlist (ADVICE r04). Sign-aware (ADVICE r05):
+    floor(|x|·g + .5) on the magnitude then reapply the sign, because
+    floor(x·g + .5) alone rounds NEGATIVE exact ties toward +inf while
+    both engines round them away from zero (e.g. -0.5/grid must snap to
+    -1/grid, not 0)."""
+    return np.copysign(np.floor(np.abs(x) * grid + 0.5), x) / grid
 
 
 def topk(scores: np.ndarray, ids: np.ndarray, k: int = 3) -> set:

@@ -12,6 +12,13 @@ Usage:
 
 Defaults: sf_dir=/root/testdata/sf0.1, keys = the bench.py headline set
 that has oracles, reps=3.
+
+r06 (VERDICT r05 items 2+4): reps are INTERLEAVED — each rep times both
+engines back-to-back, alternating which engine goes first (rep 0
+spark-first, rep 1 duck-first, ...), so a host stall or a slow-engine
+session lands on both sides symmetrically instead of flattering
+whichever engine ran in the good minutes. Output rows carry min AND max
+per engine so the recorded ratio's sensitivity to drift is visible.
 """
 
 from __future__ import annotations
@@ -67,31 +74,37 @@ def main() -> None:
     rows = []
     for k in keys:
         fn = registry.QUERIES[k]
-        fn(spark, sf_dir).toPandas()  # warm (plan compile, fixture cache)
-        s_times = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn(spark, sf_dir).toPandas()
-            s_times.append(time.time() - t0)
-        d_times = None
         sql = registry.ORACLE_SQL.get(k)
+        fn(spark, sf_dir).toPandas()  # warm (plan compile, fixture cache)
         if sql is not None:
             duck_run_df(sf_dir, sql)  # warm (duckdb reads + plans)
-            d_times = []
-            for _ in range(reps):
-                t0 = time.time()
-                duck_run_df(sf_dir, sql)
-                d_times.append(time.time() - t0)
+        s_times: list[float] = []
+        d_times: list[float] | None = [] if sql is not None else None
+        for rep in range(reps):
+            # alternate which engine goes first so host drift is symmetric
+            legs = ["spark", "duck"] if rep % 2 == 0 else ["duck", "spark"]
+            for leg in legs:
+                if leg == "spark":
+                    t0 = time.time()
+                    fn(spark, sf_dir).toPandas()
+                    s_times.append(time.time() - t0)
+                elif d_times is not None:
+                    t0 = time.time()
+                    duck_run_df(sf_dir, sql)
+                    d_times.append(time.time() - t0)
         rows.append(
             {
                 "key": k,
                 "spark_s": round(min(s_times), 4),
+                "spark_max": round(max(s_times), 4),
                 "duck_s": round(min(d_times), 4) if d_times else None,
+                "duck_max": round(max(d_times), 4) if d_times else None,
                 "ratio": round(min(s_times) / min(d_times), 2) if d_times else None,
             }
         )
         print(
-            f"| {k} | {rows[-1]['spark_s']} | {rows[-1]['duck_s']} |"
+            f"| {k} | {rows[-1]['spark_s']} ({rows[-1]['spark_max']}) |"
+            f" {rows[-1]['duck_s']} ({rows[-1]['duck_max']}) |"
             f" {rows[-1]['ratio']} |",
             file=sys.stderr,
         )
