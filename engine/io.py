@@ -115,7 +115,15 @@ def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
     under-fed on scan-bound shapes. Target ≈ total-input / (2 × cores)
     so every core gets ~2 scan tasks, clamped to [16 MB, 128 MB]
     (measured sf10 pricing summary: 128 MB → 1.04 s, 32 MB → 0.81 s,
-    16 MB → 0.75 s warm min; no effect below one row group). On a real
+    16 MB → 0.75 s warm min; no effect below one row group).
+
+    Below ~512 MB total the regime inverts: the data cannot feed 32 cores
+    for longer than a task launch, so task COUNT (not feed rate) is the
+    cost, and fewer/larger splits win. Floor at 64 MB there — measured
+    r06 at sf1 (183 MB), interleaved min-of-5 over the headline-8:
+    (32 shuffle, 16 m) 6.94 s → (16, 64 m) 6.23 s → (8, 64 m) 6.21 s;
+    the mpb move is the significant factor (shuffle 16 vs 32 was inside
+    noise, consistent with the earlier recorded sweep). On a real
     cluster the default stands — this helper exists for single-host
     benching where the file count, not the data, is the parallelism cap.
     """
@@ -127,8 +135,9 @@ def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
         )
     except OSError:
         return "128m"
+    floor = 64 if total < (512 << 20) else 16
     mb = total // (2 * cores) // (1 << 20)
-    return f"{max(16, min(128, mb or 16))}m"
+    return f"{max(floor, min(128, mb or floor))}m"
 
 
 def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
