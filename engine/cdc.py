@@ -218,6 +218,7 @@ def cdc_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_snapshot_diff",
+    plan_cache=True,
     oracle=f"SELECT op, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM ({_SQL_DIFF}) GROUP BY op",
 )
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +333,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_dedup_extract",
+    plan_cache=True,
     oracle="""
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
     FROM (
@@ -514,6 +516,7 @@ _SQL_CUST_DIFF = f"""
 
 @query(
     "cdc_multi_source",
+    plan_cache=True,
     oracle=f"""
     SELECT 'orders' AS source, op, count(*) AS n,
            round(sum(o_totalprice), 2) AS checksum

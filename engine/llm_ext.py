@@ -138,7 +138,7 @@ def lloyd_fit(e: DataFrame, k: int, iters: int):
     return assign, cents
 
 
-@query("llm_kmeans_lloyd", oracle=_kmeans_oracle())
+@query("llm_kmeans_lloyd", oracle=_kmeans_oracle(), plan_cache=True)
 def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 3 iterations) over the embedding column,
     expressed as a fully declarative DataFrame loop — each iteration is
@@ -174,6 +174,7 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_substring_dedup",
+    plan_cache=True,
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws

@@ -237,6 +237,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_tf_top_terms",
+    plan_cache=True,
     oracle="""
     SELECT lang, token, n, rn FROM (
       SELECT lang, token, count(*) AS n,
@@ -525,6 +526,7 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_centroids",
+    plan_cache=True,
     oracle="""
     WITH ex AS (
       SELECT label, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS val
@@ -748,6 +750,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 @query(
     "llm_pii_scrub",
+    plan_cache=True,
     oracle="""
     WITH seeded AS (
       SELECT doc_id,
@@ -799,6 +802,7 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_minhash_verified",
+    plan_cache=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents

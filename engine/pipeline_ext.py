@@ -108,6 +108,7 @@ _BLOCK_B = 20  # words per block
 
 @query(
     "llm_block_dedup",
+    plan_cache=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks,

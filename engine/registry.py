@@ -18,19 +18,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+#: (session id, sf_dir, key) → built-but-unexecuted DataFrame. The
+#: prepared-statement pattern: building a deep DataFrame tree costs
+#: 50-300 ms of py4j round-trips per call (measured r06: revenue's
+#: 6-join tree 0.15 s, snapshot_diff 0.3 s), all JVM-side re-derivable.
+#: Each call returns a THIN wrapper (`where(lit(True))`, removed by the
+#: optimizer) over the cached logical plan, which forces a brand-new
+#: QueryExecution — fresh analysis, fresh AQE run, fresh scan of the
+#: current files — so no executed stage or result is ever reused; only
+#: the Python-side expression-tree construction is. Staleness contract
+#: is identical to engine.io.load_tables' table cache (file listing is
+#: pinned per (session, sf_dir)).
+_plan_store: dict[tuple[int, str, str], DataFrame] = {}
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+
+def query(
+    name: str, oracle: Optional[str] = None, plan_cache: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; optionally attach a DuckDB oracle SQL.
 
     Keys with ``oracle`` get the driver's full hash-match check; keys
     without get the weaker rows-only check (reserved for ops DuckDB cannot
     express — SURVEY.md §2 marks which is which).
+
+    ``plan_cache=True`` opts a PURE-READ key (no build-time side effects,
+    no driver-side iteration) into the prepared-plan cache above. Keys
+    whose build step writes files or collects data must stay opted out —
+    caching would freeze those side effects.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
-        QUERIES[name] = fn
+        if plan_cache:
+            import functools
+
+            from pyspark.sql import functions as F
+
+            @functools.wraps(fn)
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                key = (id(spark), sf_dir, name)
+                df = _plan_store.get(key)
+                if df is None:
+                    df = fn(spark, sf_dir)
+                    _plan_store[key] = df
+                return df.where(F.lit(True))
+
+            QUERIES[name] = wrapped
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn

@@ -502,6 +502,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_pricing_summary",
+    plan_cache=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
@@ -546,6 +547,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_revenue_by_nation",
+    plan_cache=True,
     oracle="""
     SELECT n.n_name AS nation,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -1012,6 +1014,7 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_topk_per_group",
+    plan_cache=True,
     oracle=f"""
     WITH cr AS ({_CUST_REV_SQL})
     SELECT c_mktsegment, c_custkey, revenue, rn FROM (
@@ -1141,6 +1144,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_sessionize",
+    plan_cache=True,
     oracle="""
     WITH e AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -1323,7 +1323,7 @@ def _pq_oracle() -> str:
     )
 
 
-@query("llm_ann_pq", oracle=_pq_oracle())
+@query("llm_ann_pq", oracle=_pq_oracle(), plan_cache=True)
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011 shape): the
     64-dim space splits into 8 subspaces × 16-centroid codebooks (4-bit

@@ -694,6 +694,7 @@ def join_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_waiting_orders",
+    plan_cache=True,
     oracle="""
     WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     late AS (

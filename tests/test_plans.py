@@ -507,3 +507,46 @@ def test_collect_sites_are_bounded():
             "documented as bounded — justify and pin new sites here AND in "
             "PLANS.md, or remove them"
         )
+
+
+def test_plan_cache_is_prepared_statement_not_result_cache(spark):
+    """The r06 plan cache (registry.query(plan_cache=True)) must reuse ONLY
+    the Python-built expression tree. Each call must produce a distinct
+    QueryExecution (fresh AQE run, no materialized-stage reuse) and must
+    re-read the CURRENT bytes of the underlying files — pinned by mutating
+    a fixture copy in place and observing the result move.
+    """
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from engine import registry
+
+    src = "/root/testdata/sf0.001"
+    tmp = tempfile.mkdtemp(prefix="plan_cache_fresh_")
+    try:
+        shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
+        fn = registry.QUERIES["agg_pricing_summary"]
+        d1, d2 = fn(spark, tmp), fn(spark, tmp)
+        assert d1._jdf.queryExecution() is not None
+        # distinct wrapper DataFrames -> distinct QueryExecutions
+        assert not d1._jdf.queryExecution().equals(d2._jdf.queryExecution())
+        a = d1.toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE TABLE t AS SELECT * FROM read_parquet('{tmp}/lineitem.parquet') "
+            "USING SAMPLE 50 PERCENT (reservoir, 42)"
+        )
+        import os
+
+        os.remove(f"{tmp}/lineitem.parquet")
+        con.execute(f"COPY t TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)")
+        b = fn(spark, tmp).toPandas()
+        assert a["count_order"].sum() != b["count_order"].sum(), (
+            "plan-cached key returned stale results after the underlying "
+            "file changed — the cache is reusing executed stages, not plans"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
