@@ -45,6 +45,16 @@ _PROMOTED_R06 = [
     "llm_ann_pq_clustered",
     # r06 perf rework (VERDICT r05 item 3) — same oracle, new plan:
     "llm_centroids",
+    # r06 CDC rework (raw-key joins replace md5-fingerprint joins in
+    # snapshot_diff / apply_changes / incremental_upsert / delete-detect
+    # and every key built on them) — same oracles, new plans:
+    "cdc_snapshot_diff",
+    "cdc_apply_changes",
+    "cdc_delete_detect_full",
+    "cdc_incremental_upsert",
+    "cdc_changelog",
+    "cdc_schema_evolution",
+    "cdc_multi_source",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
