@@ -126,6 +126,46 @@ def test_fingerprint_no_boundary_collision(spark):
     assert fp[1] != fp[2]
 
 
+def test_null_key_matching_is_null_safe(spark):
+    """r06 raw-key-join rework pin: the md5-sentinel join made NULL key
+    components match NULL (coalesce to '<NULL>' before hashing); the
+    eqNullSafe rewrite must preserve exactly that. A composite key with a
+    NULL component present on BOTH sides is one key (N/U, never I+D),
+    and delete detection must see a NULL-keyed prev row as matched."""
+    schema = T.StructType(
+        [
+            T.StructField("k1", T.IntegerType(), True),
+            T.StructField("k2", T.StringType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    spec = SourceSpec(name="t", key_cols=("k1", "k2"), tracked_cols=("v",))
+    prev = spark.createDataFrame(
+        [(None, "a", "x"), (1, None, "y"), (None, None, "z"), (2, "b", "w")],
+        schema,
+    )
+    curr = spark.createDataFrame(
+        [(None, "a", "x"), (1, None, "CHANGED"), (None, None, None), (3, "c", "new")],
+        schema,
+    )
+    ops = {
+        (r.k1, r.k2): r.op for r in snapshot_diff(prev, curr, spec).collect()
+    }
+    assert ops == {
+        (None, "a"): "N",     # NULL component, both sides, same value
+        (1, None): "U",       # NULL component, value changed
+        (None, None): "U",    # all-NULL key, value z -> NULL counts as change
+        (2, "b"): "D",
+        (3, "c"): "I",
+    }
+    # delete-detect: only (2,'b') is absent from curr — NULL-keyed prev
+    # rows matched their curr twins and must NOT be reported deleted
+    from engine.cdc import _anti_on_keys
+
+    gone = [(r.k1, r.k2) for r in _anti_on_keys(prev, curr, spec).collect()]
+    assert gone == [(2, "b")]
+
+
 def test_scd2_intervals_partition_time(spark, sf_dir):
     """SCD2: per key, intervals are ordered, non-overlapping, gapless, and
     exactly one open (is_current) interval exists."""
