@@ -124,10 +124,11 @@ def snapshot_diff(prev: DataFrame, curr: DataFrame, spec: SourceSpec) -> DataFra
         e = c[k].eqNullSafe(p[f"p_{k}"])
         cond = e if cond is None else (cond & e)
     j = c.join(p, cond, "full_outer")
-    changed = None
+    # key-only specs (no tracked cols) can never produce U — guard the
+    # fold's empty case with a literal False
+    changed = F.lit(False)
     for t in spec.tracked_cols:
-        e = ~F.col(t).eqNullSafe(F.col(f"p_{t}"))
-        changed = e if changed is None else (changed | e)
+        changed = changed | ~F.col(t).eqNullSafe(F.col(f"p_{t}"))
     op = (
         F.when(F.col("p_present").isNull(), F.lit("I"))
         .when(F.col("c_present").isNull(), F.lit("D"))
