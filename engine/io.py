@@ -153,6 +153,13 @@ def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> Spa
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # bench_compare materializes BOTH engines' results as pandas frames
+        # for timing symmetry; at sf100 win_sessionize's ~100M-row result is
+        # >1 GiB of Arrow batches and the 1 GiB default kills the collect.
+        # Engine collect() sites stay bounded regardless (pinned by
+        # tests/test_plans.py::test_collect_sites_are_bounded) — this cap is
+        # a harness guard, not a plan-shape control.
+        .config("spark.driver.maxResultSize", "16g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
     )
