@@ -550,3 +550,41 @@ def test_plan_cache_is_prepared_statement_not_result_cache(spark):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_shuffle_partitions_tiers():
+    """Pin the three regimes of shuffle_partitions_for: the small-fixture
+    floor (8), the 2 MB/partition mid tier capped at cores (32), and the
+    large-input 256 MB/partition tier entered above 8 GB, clamped to
+    [cap, 2*cap]. The large tier must NEVER activate for driver-fixture
+    sizes — driver-gate plans depend on that. Sizes are synthesized with
+    sparse files (os.path.getsize reports apparent size)."""
+    import os
+    import tempfile
+
+    from engine.io import shuffle_partitions_for
+
+    def fixture_of(nbytes: int) -> str:
+        d = tempfile.mkdtemp(prefix="sp_tier_")
+        with open(os.path.join(d, "t.parquet"), "wb") as f:
+            f.truncate(nbytes)
+        return d
+
+    try:
+        small = fixture_of(17 << 20)       # ~sf0.1 -> floor
+        mid = fixture_of(200 << 20)        # ~sf1 -> 2 MB rule, capped
+        sf10_like = fixture_of(2 << 30)    # ~sf10 -> still the cap (32)
+        big = fixture_of(22 << 30)         # ~sf100 -> 256 MB rule -> 64
+        huge = fixture_of(300 << 30)       # clamp at 2*cap
+        assert shuffle_partitions_for(small) == 8
+        assert shuffle_partitions_for(mid) == 32
+        assert shuffle_partitions_for(sf10_like) == 32
+        assert shuffle_partitions_for(big) == 64
+        assert shuffle_partitions_for(huge) == 64
+        # the tier boundary itself: 8 GB stays on the mid tier
+        assert shuffle_partitions_for(fixture_of(8 << 30)) == 32
+    finally:
+        import shutil
+
+        for d in (small, mid, sf10_like, big, huge):
+            shutil.rmtree(d, ignore_errors=True)
