@@ -75,6 +75,11 @@ def main() -> None:
     from engine.io import max_partition_bytes_for
 
     spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf_dir))
+    # small-fixture AQE toggle (engine/io.py: adaptive_for) — stage-barrier
+    # latency with nothing to adapt below 512 MB; AQE stays on above
+    from engine.io import adaptive_for
+
+    spark.conf.set("spark.sql.adaptive.enabled", adaptive_for(sf_dir))
     spark.range(1_000_000).count()  # JVM/codegen warm-up
 
     def bench_at(dir_: str, rounds: int) -> dict[str, list[float]]:
@@ -158,6 +163,9 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf1_dir)
             )
+            from engine.io import adaptive_for as adf
+
+            spark.conf.set("spark.sql.adaptive.enabled", adf(sf1_dir))
             t1, s1 = summarize(bench_at(sf1_dir, 3))
             out["sf1"] = {
                 "value": round(sum(t1[n] for n in HEADLINE), 4),

@@ -158,6 +158,38 @@ def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
     return f"{max(floor, min(128, mb or floor))}m"
 
 
+def adaptive_for(sf_dir: str) -> str:
+    """Input-sized AQE toggle for the BENCH harness (sibling of
+    :func:`shuffle_partitions_for` / :func:`max_partition_bytes_for`).
+
+    AQE exists to re-plan big shuffles at runtime; every adaptive
+    decision is bought with a stage barrier (materialize the map side,
+    sync with the driver, re-optimize). On a sub-512 MB fixture there is
+    nothing to adapt — partitions are already input-sized and every
+    join's small side broadcasts — so the barrier is pure latency.
+    Measured r06 A/B/A at sf0.1 (headline-8, warm min-of-5, one
+    session): `win_sessionize` 0.28 s (AQE) vs 0.14 s (no AQE) — a
+    single-exchange window query pays a full extra stage round-trip —
+    headline total 1.66 vs 1.54 s. Above 512 MB AQE stays ON: skew
+    splitting and runtime join switching are the 100 TB posture
+    (SESSION_CONF default, unchanged — the correctness gate always runs
+    with AQE on; the full 252-key sf0.01 comparator was also re-swept
+    green with AQE OFF before this helper landed, so the toggle is
+    hash-neutral by measurement).
+    """
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+        )
+    except OSError:
+        return "true"
+    if total == 0:  # unreadable/missing dir (os.walk yields nothing): fail to ON
+        return "true"
+    return "false" if total < (512 << 20) else "true"
+
+
 def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a local session sized for this machine.
 

@@ -66,10 +66,11 @@ def main() -> None:
     # 7.8 s to .collect(), 0.5 s to Arrow toPandas). Both engines now
     # land in a pandas DataFrame — symmetric materialization work.
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    from engine.io import max_partition_bytes_for, shuffle_partitions_for
+    from engine.io import adaptive_for, max_partition_bytes_for, shuffle_partitions_for
 
     spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions_for(sf_dir))
     spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf_dir))
+    spark.conf.set("spark.sql.adaptive.enabled", adaptive_for(sf_dir))
 
     rows = []
     for k in keys:

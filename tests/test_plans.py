@@ -588,3 +588,29 @@ def test_shuffle_partitions_tiers():
 
         for d in (small, mid, sf10_like, big, huge):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_adaptive_tier_boundaries():
+    """adaptive_for: AQE off below 512 MB of input (stage-barrier latency
+    with nothing to adapt), on at-and-above (skew/coalesce posture)."""
+    import os
+    import shutil
+    import tempfile
+
+    from engine.io import adaptive_for
+
+    def fixture_of(nbytes: int) -> str:
+        d = tempfile.mkdtemp(prefix="aqe_tier_")
+        with open(os.path.join(d, "t.parquet"), "wb") as f:
+            f.truncate(nbytes)
+        return d
+
+    small, boundary, big = fixture_of(17 << 20), fixture_of(512 << 20), fixture_of(2 << 30)
+    try:
+        assert adaptive_for(small) == "false"
+        assert adaptive_for(boundary) == "true"
+        assert adaptive_for(big) == "true"
+        assert adaptive_for("/nonexistent/path") == "true"
+    finally:
+        for d in (small, boundary, big):
+            shutil.rmtree(d, ignore_errors=True)
