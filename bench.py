@@ -62,24 +62,19 @@ def main() -> None:
     from engine.io import get_spark
 
     registry.load_all()
-    from engine.io import shuffle_partitions_for
+    from engine.io import apply_bench_confs, shuffle_partitions_for
 
     # Input-sized shuffle partitioning (see shuffle_partitions_for): at
     # sf0.1 this is 8 — measured 15-50% off every floor-dominated key vs
     # the core-count default, no regression on the heavy keys.
     spark = get_spark(app="bench", shuffle_partitions=shuffle_partitions_for(sf_dir))
     spark.sparkContext.setLogLevel("ERROR")
-    # scan-side twin of the input-sized shuffle partitioning (engine/io.py:
-    # max_partition_bytes_for) — feeds all cores on scan-bound shapes when
-    # the fixture's file count would otherwise cap parallelism
-    from engine.io import max_partition_bytes_for
-
-    spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf_dir))
-    # small-fixture AQE toggle (engine/io.py: adaptive_for) — stage-barrier
-    # latency with nothing to adapt below 512 MB; AQE stays on above
-    from engine.io import adaptive_for
-
-    spark.conf.set("spark.sql.adaptive.enabled", adaptive_for(sf_dir))
+    # Input-sized scan split + AQE toggle, registered as STICKY overrides
+    # (engine/io.py: apply_bench_confs). A bare spark.conf.set here is
+    # undone by the first load_tables cache miss re-applying SESSION_CONF
+    # — which is why every r06 recorded run silently ran AQE-on
+    # (ADVICE r06, high). The override registry survives configure().
+    bench_confs = apply_bench_confs(spark, sf_dir)
     spark.range(1_000_000).count()  # JVM/codegen warm-up
 
     def bench_at(dir_: str, rounds: int) -> dict[str, list[float]]:
@@ -121,6 +116,8 @@ def main() -> None:
         "queries": times,
         "spread": spread,
         "sf": sf_val,
+        # what actually ran (sticky overrides — see apply_bench_confs)
+        "confs": bench_confs,
         # scale-regression telemetry: deeper dup chains ⇒ more
         # label-propagation rounds; watch this grow with sf
         "dedup_cluster_rounds": similarity.LAST_PROPAGATION_ROUNDS,
@@ -157,15 +154,7 @@ def main() -> None:
                 make_scaled.build(spark, sf_dir, sf1_dir, 10)
                 with open(marker, "w") as f:
                     json.dump(want, f)
-            from engine.io import shuffle_partitions_for as spf
-
-            spark.conf.set("spark.sql.shuffle.partitions", spf(sf1_dir))
-            spark.conf.set(
-                "spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf1_dir)
-            )
-            from engine.io import adaptive_for as adf
-
-            spark.conf.set("spark.sql.adaptive.enabled", adf(sf1_dir))
+            sf1_confs = apply_bench_confs(spark, sf1_dir)
             t1, s1 = summarize(bench_at(sf1_dir, 3))
             out["sf1"] = {
                 "value": round(sum(t1[n] for n in HEADLINE), 4),
@@ -173,6 +162,7 @@ def main() -> None:
                 "spread": s1,
                 "sf": sf_val * 10 if isinstance(sf_val, float) else sf_val,
                 "dedup_cluster_rounds": similarity.LAST_PROPAGATION_ROUNDS,
+                "confs": sf1_confs,
             }
         except Exception as e:  # sf1 is additive telemetry — never fail the bench
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]

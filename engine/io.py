@@ -75,11 +75,51 @@ def tmpdir(prefix: str) -> str:
     return d
 
 
-def configure(spark: SparkSession) -> SparkSession:
-    """Apply required runtime confs to an existing session (idempotent)."""
-    for k, v in SESSION_CONF.items():
+#: Per-session conf overrides (id(spark) → {conf: value}). ``configure``
+#: re-applies SESSION_CONF on every ``load_tables`` cache miss, which used
+#: to silently clobber any bench-harness toggle set between queries (the
+#: r06 AQE tier was a no-op for exactly this reason — ADVICE r06, high).
+#: Overrides registered here WIN over SESSION_CONF on every re-apply, so a
+#: harness decision survives arbitrary configure() calls.
+_conf_overrides: dict[int, dict[str, str]] = {}
+
+
+def set_conf_overrides(spark: SparkSession, overrides: dict[str, str]) -> None:
+    """Set runtime confs that persist across ``configure()`` re-applies."""
+    _conf_overrides.setdefault(id(spark), {}).update(overrides)
+    for k, v in overrides.items():
         spark.conf.set(k, v)
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent).
+
+    Confs registered via :func:`set_conf_overrides` take precedence over
+    ``SESSION_CONF`` — the engine's defaults must not undo an explicit
+    harness decision mid-run.
+    """
+    ov = _conf_overrides.get(id(spark), {})
+    for k, v in SESSION_CONF.items():
+        spark.conf.set(k, ov.get(k, v))
     return spark
+
+
+def _dir_bytes(sf_dir: str) -> int | None:
+    """Total on-disk bytes under ``sf_dir``; None when the size is unknown
+    (unreadable or empty/missing dir — os.walk yields nothing for both).
+    Shared by the three input-sizing helpers so missing-dir semantics are
+    decided per caller, explicitly (ADVICE r06: the old copies disagreed,
+    and shuffle_partitions_for returned the small-fixture floor — the
+    worst possible value — for a mistyped big-fixture path)."""
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+        )
+    except OSError:
+        return None
+    return total or None
 
 
 def shuffle_partitions_for(sf_dir: str, cap: int = 32) -> int:
@@ -108,15 +148,11 @@ def shuffle_partitions_for(sf_dir: str, cap: int = 32) -> int:
     clamped to [cap, 2×cap] — exactly the 128 MB-1 GB/partition cluster
     doctrine, entered only once the data (not the machine) demands it.
     Driver-fixture sizes (≤ sf1) never reach this tier, so driver-gate
-    plans are unchanged.
+    plans are unchanged. Unknown input size → ``cap`` (the safe value for
+    a big fixture whose path was mistyped; AQE coalesces the excess).
     """
-    try:
-        total = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(sf_dir)
-            for f in files
-        )
-    except OSError:
+    total = _dir_bytes(sf_dir)
+    if total is None:
         return cap
     if total > (8 << 30):
         return min(2 * cap, max(cap, total // (256 << 20)))
@@ -144,14 +180,10 @@ def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
     noise, consistent with the earlier recorded sweep). On a real
     cluster the default stands — this helper exists for single-host
     benching where the file count, not the data, is the parallelism cap.
+    Unknown input size → the Spark default ("128m").
     """
-    try:
-        total = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(sf_dir)
-            for f in files
-        )
-    except OSError:
+    total = _dir_bytes(sf_dir)
+    if total is None:
         return "128m"
     floor = 64 if total < (512 << 20) else 16
     mb = total // (2 * cores) // (1 << 20)
@@ -175,19 +207,38 @@ def adaptive_for(sf_dir: str) -> str:
     (SESSION_CONF default, unchanged — the correctness gate always runs
     with AQE on; the full 252-key sf0.01 comparator was also re-swept
     green with AQE OFF before this helper landed, so the toggle is
-    hash-neutral by measurement).
+    hash-neutral by measurement). Unknown input size → "true" (fail to
+    the 100 TB posture).
+
+    NOTE for harnesses: set this via :func:`apply_bench_confs` /
+    :func:`set_conf_overrides`, NOT a bare ``spark.conf.set`` — the first
+    ``load_tables`` cache miss re-applies ``SESSION_CONF`` (AQE on) and
+    silently undoes a bare set. This is exactly what happened to every
+    r06 bench run (ADVICE r06, high): the recorded numbers were all
+    AQE-on despite the harness believing otherwise.
     """
-    try:
-        total = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(sf_dir)
-            for f in files
-        )
-    except OSError:
-        return "true"
-    if total == 0:  # unreadable/missing dir (os.walk yields nothing): fail to ON
+    total = _dir_bytes(sf_dir)
+    if total is None:
         return "true"
     return "false" if total < (512 << 20) else "true"
+
+
+def apply_bench_confs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Register the three input-sized bench confs as sticky overrides.
+
+    One call per (session, fixture) switch in a bench harness: computes
+    shuffle partitions / scan split size / AQE toggle for ``sf_dir`` and
+    installs them via :func:`set_conf_overrides` so no later
+    ``configure()`` can clobber them. Returns the applied dict so the
+    harness can record what actually ran.
+    """
+    confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions_for(sf_dir)),
+        "spark.sql.files.maxPartitionBytes": max_partition_bytes_for(sf_dir),
+        "spark.sql.adaptive.enabled": adaptive_for(sf_dir),
+    }
+    set_conf_overrides(spark, confs)
+    return confs
 
 
 def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> SparkSession:
@@ -206,10 +257,14 @@ def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> Spa
         # bench_compare materializes BOTH engines' results as pandas frames
         # for timing symmetry; at sf100 win_sessionize's ~100M-row result is
         # >1 GiB of Arrow batches and the 1 GiB default kills the collect.
-        # Engine collect() sites stay bounded regardless (pinned by
-        # tests/test_plans.py::test_collect_sites_are_bounded) — this cap is
-        # a harness guard, not a plan-shape control.
-        .config("spark.driver.maxResultSize", "16g")
+        # Scoped to the harness that needs it (ADVICE r06): only honored
+        # when SPARK_GRAFT_MAX_RESULT is set (bench_compare sets 16g);
+        # engine/driver-gate sessions keep the 1g driver-OOM guard.
+        # Startup-only conf — ignored if getOrCreate reuses a session.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
     )

@@ -52,8 +52,13 @@ def main() -> None:
     keys = sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT_KEYS
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
+    # sf100 symmetric materialization needs >1g collect headroom; scoped
+    # here via env (engine sessions keep the 1g guard — ADVICE r06).
+    # Startup-only conf, so it must be set before get_spark.
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "16g")
+
     from engine import registry
-    from engine.io import get_spark
+    from engine.io import apply_bench_confs, get_spark
     from tests.oracle import duck_run_df
 
     registry.load_all()
@@ -65,12 +70,11 @@ def main() -> None:
     # never spends (measured: win_sessionize sf1 = 1.0 s to a noop sink,
     # 7.8 s to .collect(), 0.5 s to Arrow toPandas). Both engines now
     # land in a pandas DataFrame — symmetric materialization work.
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    from engine.io import adaptive_for, max_partition_bytes_for, shuffle_partitions_for
-
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions_for(sf_dir))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes_for(sf_dir))
-    spark.conf.set("spark.sql.adaptive.enabled", adaptive_for(sf_dir))
+    # Input-sized shuffle/split/AQE registered as STICKY overrides so the
+    # first load_tables cache miss can't re-apply SESSION_CONF over them
+    # (the r06 AQE-toggle no-op — ADVICE r06, high).
+    bench_confs = apply_bench_confs(spark, sf_dir)
+    print(f"confs: {bench_confs}", file=sys.stderr)
 
     rows = []
     for k in keys:
@@ -121,6 +125,7 @@ def main() -> None:
                 "reps": reps,
                 "spark_total": total_s,
                 "duck_total": total_d,
+                "confs": bench_confs,
                 "rows": rows,
             }
         )

@@ -560,33 +560,33 @@ def test_shuffle_partitions_tiers():
     sizes — driver-gate plans depend on that. Sizes are synthesized with
     sparse files (os.path.getsize reports apparent size)."""
     import os
+    import shutil
     import tempfile
 
     from engine.io import shuffle_partitions_for
 
+    made: list[str] = []
+
     def fixture_of(nbytes: int) -> str:
         d = tempfile.mkdtemp(prefix="sp_tier_")
+        made.append(d)
         with open(os.path.join(d, "t.parquet"), "wb") as f:
             f.truncate(nbytes)
         return d
 
     try:
-        small = fixture_of(17 << 20)       # ~sf0.1 -> floor
-        mid = fixture_of(200 << 20)        # ~sf1 -> 2 MB rule, capped
-        sf10_like = fixture_of(2 << 30)    # ~sf10 -> still the cap (32)
-        big = fixture_of(22 << 30)         # ~sf100 -> 256 MB rule -> 64
-        huge = fixture_of(300 << 30)       # clamp at 2*cap
-        assert shuffle_partitions_for(small) == 8
-        assert shuffle_partitions_for(mid) == 32
-        assert shuffle_partitions_for(sf10_like) == 32
-        assert shuffle_partitions_for(big) == 64
-        assert shuffle_partitions_for(huge) == 64
+        assert shuffle_partitions_for(fixture_of(17 << 20)) == 8    # ~sf0.1 floor
+        assert shuffle_partitions_for(fixture_of(200 << 20)) == 32  # ~sf1 2MB rule
+        assert shuffle_partitions_for(fixture_of(2 << 30)) == 32    # ~sf10 cap
+        assert shuffle_partitions_for(fixture_of(22 << 30)) == 64   # ~sf100 256MB rule
+        assert shuffle_partitions_for(fixture_of(300 << 30)) == 64  # clamp at 2*cap
         # the tier boundary itself: 8 GB stays on the mid tier
         assert shuffle_partitions_for(fixture_of(8 << 30)) == 32
+        # unknown input size (missing dir) -> cap, NOT the small-fixture
+        # floor (ADVICE r06: a mistyped big-fixture path must not get 8)
+        assert shuffle_partitions_for("/nonexistent/path") == 32
     finally:
-        import shutil
-
-        for d in (small, mid, sf10_like, big, huge):
+        for d in made:
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -614,3 +614,32 @@ def test_adaptive_tier_boundaries():
     finally:
         for d in (small, boundary, big):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_conf_overrides_survive_configure(spark):
+    """The r06 AQE-toggle no-op (ADVICE r06, high): a bench harness sets
+    adaptive.enabled='false', then the first load_tables cache miss calls
+    configure(), which re-applies SESSION_CONF and silently turns AQE back
+    on before any timed rep. Overrides registered via set_conf_overrides
+    must WIN over SESSION_CONF on every configure() re-apply — this is
+    what makes the recorded bench confs the confs that actually ran."""
+    from engine import io
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    try:
+        # a bare conf.set is clobbered (the r06 bug, kept as documentation)
+        spark.conf.set(key, "false")
+        io.configure(spark)
+        assert spark.conf.get(key) == "true"
+        # an override survives configure()
+        io.set_conf_overrides(spark, {key: "false"})
+        assert spark.conf.get(key) == "false"
+        io.configure(spark)
+        assert spark.conf.get(key) == "false"
+        # and survives a load_tables cache miss (fresh sf_dir tuple key)
+        io.load_tables(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get(key) == "false"
+    finally:
+        io._conf_overrides.pop(id(spark), None)
+        spark.conf.set(key, orig)
