@@ -31,30 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# VERDICT r05 / ADVICE r05: keys whose implementation or oracle CHANGED
-# this round — their recorded driver evidence is stale by construction, so
-# they jump the queue regardless of past green rows (the ADVICE-r05
-# staleness lesson: a changed key must never coast on its old rank):
-# - llm_near_dedup_minhash: banding/threshold/oracle reworked in r05 but
-#   never re-driver-checked (ADVICE r05 item 1);
-# - llm_ann_{ivf,pq}_clustered: corpus label decorrelated from the
-#   quantizer init + cells 40 → 48 in r06 (ADVICE r05 item 3).
-_PROMOTED_R06 = [
-    "llm_near_dedup_minhash",
-    "llm_ann_ivf_clustered",
-    "llm_ann_pq_clustered",
-    # r06 perf rework (VERDICT r05 item 3) — same oracle, new plan:
-    "llm_centroids",
-    # r06 CDC rework (raw-key joins replace md5-fingerprint joins in
-    # snapshot_diff / apply_changes / incremental_upsert / delete-detect
-    # and every key built on them) — same oracles, new plans:
-    "cdc_snapshot_diff",
-    "cdc_apply_changes",
-    "cdc_delete_detect_full",
-    "cdc_incremental_upsert",
-    "cdc_changelog",
-    "cdc_schema_evolution",
-    "cdc_multi_source",
+# Keys whose implementation changed THIS round — their recorded driver
+# evidence is stale by construction, so they jump the queue regardless of
+# past green rows (the ADVICE-r05 staleness lesson: a changed key must
+# never coast on its old rank):
+# - sink_bucketed_join: bucketed-layout creation extracted into the shared
+#   engine.io.bucketed_facts helper in r07 (same oracle, same plan shape —
+#   re-check anyway per doctrine).
+# (agg_revenue_by_nation_bucketed is NEW in r07 and rides tier 4.)
+_PROMOTED_R07 = [
+    # r07 plan rework (ASIA semi-filter on customer before the orders
+    # join — same oracle, new plan) + the bucketed-layout helper rework:
+    "agg_revenue_by_nation",
+    "sink_bucketed_join",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
@@ -97,7 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's fixed-prefix check lands on the keys that need it most:
 
     tier 0: keys whose implementation changed since their last driver
-            row (_PROMOTED_R06) — their green rows are stale evidence;
+            row (_PROMOTED_R07) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
     tier 4: never-driver-checked keys in name order (16 remain after
@@ -109,7 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adds no evidence).
     """
     rank, last_pass = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R06)}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R07)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]

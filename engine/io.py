@@ -53,6 +53,15 @@ SESSION_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas UDF / toPandas crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Report per-bucket sort order from bucketed scans when (and only
+    # when) a bucket is exactly ONE file — Spark checks the file count
+    # per bucket before claiming ordering, so this is safe for any
+    # layout; engine.io.bucketed_facts repartitions on the bucket key
+    # before writing precisely so each bucket IS one sorted file, which
+    # lets the orderkey SMJ skip BOTH sides' local sorts (measured sf10:
+    # bucketed flagship 1.52 s → 1.37 s). Cost: file listing at
+    # planning, which load_tables' table cache already bounds.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # Whole-stage codegen admits plans up to 256 fields (default 100):
     # llm_centroids' single-pass 64-avg aggregate carries 129 aggregate
     # buffer slots, which silently fell back to interpreted eval (r06
@@ -517,6 +526,60 @@ def source_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("engine_cdc_feed").load()
 
 
+def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(orders, lineitem) read from a co-bucketed-on-orderkey layout,
+    creating it on first use (sorted by the key — pay the shuffle once at
+    write time, never again). Shared by ``sink_bucketed_join`` (the
+    mechanism demo) and ``agg_revenue_by_nation_bucketed`` (the flagship
+    wired to it, VERDICT r06 item 2), so one layout serves every orderkey
+    join.
+
+    The bucket count is INPUT-SIZED via :func:`shuffle_partitions_for`
+    (8 below ~16 MB, up to 2×cores at sf100): a bucketed scan reads each
+    bucket as exactly one task — a fixed 8-bucket layout caps scan AND
+    sort parallelism at 8 of 32 cores, and measured at sf10 that made
+    the bucketed flagship SLOWER than paying the shuffle (2.72 s vs
+    2.22 s warm-min; 190 MB/task vs 28 MB splits). On a cluster the same
+    rule holds at a different magnitude: buckets ≈ data / target-task
+    size (thousands at 100 TB), never a constant. Driver fixtures
+    (≤ sf1) still get 8, so driver-gate plans are unchanged.
+    """
+    t = load_tables(spark, sf_dir)
+    n_buckets = shuffle_partitions_for(sf_dir)
+    # external tables at a per-process tmp path: the default warehouse dir
+    # outlives the in-memory catalog, so a managed-table name would collide
+    # on the second process run against the stale directory
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # fixed path (not pid-keyed): content is deterministic per (sf, bucket
+    # count — encoded in the name), so a stale dir from an earlier process
+    # is simply overwritten — bounded disk
+    base = "/tmp/engine_bkt"
+    names = (f"orders_bkt_{sf_tag}_b{n_buckets}", f"lineitem_bkt_{sf_tag}_b{n_buckets}")
+    for name, df, key in (
+        (names[0], t["orders"], "o_orderkey"),
+        (names[1], t["lineitem"], "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                # repartition on the bucket key FIRST: without it every
+                # write task emits a file into every bucket (tasks ×
+                # buckets files — measured 3 200 files of ~0.4 MB at
+                # sf10, each scan task paying ~100 footer reads, which
+                # made the bucketed read SLOWER than the shuffle it
+                # saves). With it each bucket is exactly ONE file whose
+                # rows sortBy actually sorts — the layout the read side
+                # assumes.
+                df.repartition(n_buckets, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .option("path", os.path.join(base, name))
+                .saveAsTable(name)
+            )
+    return spark.table(names[0]), spark.table(names[1])
+
+
 @query(
     "sink_bucketed_join",
     oracle="""
@@ -533,29 +596,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). This is the 100 TB pattern for repeated joins
     on the same key: pay the shuffle once at write time, never again.
     """
-    t = load_tables(spark, sf_dir)
-    # external tables at a per-process tmp path: the default warehouse dir
-    # outlives the in-memory catalog, so a managed-table name would collide
-    # on the second process run against the stale directory
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    # fixed path (not pid-keyed): content is deterministic per sf, so a
-    # stale dir from an earlier process is simply overwritten — bounded disk
-    base = "/tmp/engine_bkt"
-    for name, df, key in (
-        (f"orders_bkt_{sf_tag}", t["orders"], "o_orderkey"),
-        (f"lineitem_bkt_{sf_tag}", t["lineitem"], "l_orderkey"),
-    ):
-        if not spark.catalog.tableExists(name):
-            (
-                df.write.mode("overwrite")
-                .bucketBy(8, key)
-                .sortBy(key)
-                .format("parquet")
-                .option("path", os.path.join(base, name))
-                .saveAsTable(name)
-            )
-    o = spark.table(f"orders_bkt_{sf_tag}")
-    li = spark.table(f"lineitem_bkt_{sf_tag}")
+    o, li = bucketed_facts(spark, sf_dir)
     # force SMJ: at tiny SF the planner would broadcast, which hides the
     # bucketed (shuffle-free, sort-free) join path this key demonstrates
     return (

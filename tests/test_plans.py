@@ -55,6 +55,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "Bucketed: true" in s or "SelectedBucketsCount" in s
 
 
+def test_bucketed_flagship_fact_join_has_no_shuffle(spark, sf_dir):
+    """agg_revenue_by_nation_bucketed (VERDICT r06 item 2): the orderkey
+    SMJ must be fed directly by the two bucketed scans — zero shuffle
+    Exchange anywhere below it (the unbucketed flagship pays a full-width
+    fact-fact exchange there, ~10 GB at sf100). The whole plan's single
+    shuffle Exchange is the final groupBy(nation); dims and the customer
+    2-column projection enter via BroadcastExchange only."""
+    s = _plan(spark, "agg_revenue_by_nation_bucketed", sf_dir)
+    assert "SortMergeJoin" in s, "bucketed fact-fact join must stay SMJ"
+    assert "Bucketed: true" in s
+    # exactly one shuffle Exchange in the whole plan (the final agg);
+    # "Exchange" alone also matches BroadcastExchange, so count precisely
+    shuffles = set(re.findall(r"\(\d+\) Exchange\b", s))
+    assert len(shuffles) == 1, f"expected 1 shuffle Exchange (agg), got {shuffles}"
+    # and that Exchange sits ABOVE the SMJ: the operator-id of the agg
+    # Exchange must be greater than the SMJ's id in the formatted tree
+    smj_id = int(re.search(r"\((\d+)\) SortMergeJoin", s).group(1))
+    exch_id = int(re.search(r"\((\d+)\) Exchange\b", s).group(1))
+    assert exch_id > smj_id, "shuffle Exchange must be the post-join agg, not a join input"
+
+
 def test_ivf_broadcasts_small_sides(spark, sf_dir):
     """llm_ann_ivf must broadcast centroids and probes — a shuffle join
     against a 40-row side would be the wrong plan at any scale."""
