@@ -44,6 +44,9 @@ _PROMOTED_R07 = [
     # join — same oracle, new plan) + the bucketed-layout helper rework:
     "agg_revenue_by_nation",
     "sink_bucketed_join",
+    # r07 shortlist rework (narrow window rows + broadcast re-rank join —
+    # same oracle, new plan; VERDICT r06 item 5):
+    "llm_ann_quantized",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:

@@ -88,6 +88,26 @@ def main() -> None:
                 reps[name].append(time.perf_counter() - t0)
         return reps
 
+    def tight_at(dir_: str, rounds: int) -> dict[str, list[float]]:
+        # tight per-key loop (bench_compare's protocol): measures ISOLATED
+        # engine cost. The interleaved protocol above measures MIXED-
+        # WORKLOAD latency — a sub-second key that runs right after the
+        # heavy keys carries their JVM debt (GC pressure, code-cache
+        # churn): measured r07 at sf0.1, llm_centroids is 0.26-0.27 s in
+        # a tight loop under every conf combination but 0.70 s
+        # interleaved with llm_dedup_clusters/kmeans/ann_pq — the entire
+        # r06 "0.70 vs 0.26" harness discrepancy (VERDICT r06 item 3),
+        # none of it conf- or code-related. Both protocols are real;
+        # recording both makes the sidecar self-explanatory.
+        reps: dict[str, list[float]] = {n: [] for n in HEADLINE + EXTRA}
+        for name in HEADLINE + EXTRA:
+            fn = registry.QUERIES[name]
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                fn(spark, dir_).write.format("noop").mode("overwrite").save()
+                reps[name].append(time.perf_counter() - t0)
+        return reps
+
     def summarize(reps: dict[str, list[float]]) -> tuple[dict, dict]:
         times = {n: round(min(r), 4) for n, r in reps.items()}
         spread = {
@@ -101,6 +121,7 @@ def main() -> None:
         return times, spread
 
     times, spread = summarize(bench_at(sf_dir, 5))
+    tight, tight_spread = summarize(tight_at(sf_dir, 3))
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -115,6 +136,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        # tight-loop twin (isolated engine cost — see tight_at): compare
+        # against "queries" to see each key's mixed-workload JVM debt
+        "queries_tight": tight,
+        "tight_spread": tight_spread,
+        "tight_value": round(sum(tight[n] for n in HEADLINE), 4),
         "sf": sf_val,
         # what actually ran (sticky overrides — see apply_bench_confs)
         "confs": bench_confs,
@@ -156,16 +182,56 @@ def main() -> None:
                     json.dump(want, f)
             sf1_confs = apply_bench_confs(spark, sf1_dir)
             t1, s1 = summarize(bench_at(sf1_dir, 3))
+            t1t, _s1t = summarize(tight_at(sf1_dir, 2))
             out["sf1"] = {
                 "value": round(sum(t1[n] for n in HEADLINE), 4),
                 "queries": t1,
                 "spread": s1,
+                "queries_tight": t1t,
+                "tight_value": round(sum(t1t[n] for n in HEADLINE), 4),
                 "sf": sf_val * 10 if isinstance(sf_val, float) else sf_val,
                 "dedup_cluster_rounds": similarity.LAST_PROPAGATION_ROUNDS,
                 "confs": sf1_confs,
             }
         except Exception as e:  # sf1 is additive telemetry — never fail the bench
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Streaming throughput record (VERDICT r06 item 6): the one family
+    # with correctness evidence but no perf record. stream_cdc_pipeline
+    # (the north-star flagship: file stream → foreachBatch → idempotent
+    # versioned-snapshot merge) is timed end-to-end — a full availableNow
+    # run over the 4 time-quartile input files (4 micro-batches, each
+    # merging into and rewriting the snapshot), fresh checkpoint per run
+    # so every run replays the whole feed. Warm rep 1 builds the cached
+    # stream-input files; the recorded time is the min of 2 further runs.
+    if not os.environ.get("SPARK_GRAFT_SKIP_STREAM"):
+        try:
+            from engine.io import apply_bench_confs, load_tables
+
+            fn = registry.QUERIES["stream_cdc_pipeline"]
+            stream: dict[str, dict] = {}
+            dirs = [(sf_dir, "base")]
+            if "sf1" in out:
+                dirs.append((os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/engine_sf1"), "sf1"))
+            for dir_, label in dirs:
+                apply_bench_confs(spark, dir_)
+                rows = load_tables(spark, dir_)["events"].count()
+                fn(spark, dir_).write.format("noop").mode("overwrite").save()  # warm
+                secs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, dir_).write.format("noop").mode("overwrite").save()
+                    secs.append(time.perf_counter() - t0)
+                dt = min(secs)
+                stream[label] = {
+                    "sec": round(dt, 3),
+                    "micro_batches": 4,
+                    "rows": rows,
+                    "rows_per_sec": int(rows / dt),
+                }
+            out["streaming"] = stream
+        except Exception as e:  # additive telemetry — never fail the bench
+            out["streaming_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # The driver captures only the tail of stdout and parses the bench
     # record from it; BENCH_r04.json arrived unparsed because the full
@@ -180,6 +246,7 @@ def main() -> None:
     compact = {
         "metric": out["metric"],
         "value": out["value"],
+        "tight_value": out["tight_value"],
         "unit": "sec",
         "queries": times,
         "sf": sf_val,

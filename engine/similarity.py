@@ -1003,25 +1003,44 @@ def llm_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("mn") * F.col("q_s") * F.col("q_sq")
         + F.col("q_s") * F.col("s") * qq
     )
+    # r07 (VERDICT r06 item 5): project the pair scores down to three
+    # scalars BEFORE the top-k window. The r03 shape carried qe,
+    # embedding, q_nrm, nrm (two 64-float arrays, ~550 B/row) through
+    # the shortlist window's shuffle — |corpus| × 20 WIDE rows hashed
+    # into ≤20 partitions, the stage that made this key's growth the
+    # worst in the ANN family (9.9×/decade sf10→sf100 vs PQ's 8.1,
+    # IVF's 4.3). Narrow rows let WindowGroupLimit prune to top-10 per
+    # query map-side (same shape llm_ann_brute always had); the arrays
+    # re-enter below via a broadcast join against ONLY the ≤200
+    # shortlist rows.
     scored = base.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
         "qid",
         F.col("vec_id").alias("nid"),
         (adot / F.col("q_nrm") / F.col("nrm")).alias("acos_"),
-        "qe",
-        "embedding",
-        "q_nrm",
-        "nrm",
     )
     w10 = Window.partitionBy("qid").orderBy(F.col("acos_").desc(), "nid")
-    shortlist = scored.withColumn("arn", F.row_number().over(w10)).where(
-        F.col("arn") <= 10
+    shortlist = (
+        scored.withColumn("arn", F.row_number().over(w10))
+        .where(F.col("arn") <= 10)
+        .select("qid", "nid")
     )
-    rescored = shortlist.select(
-        "qid",
-        "nid",
-        (_dot(_dbl("qe"), _dbl("embedding")) / F.col("q_nrm") / F.col("nrm")).alias(
-            "cos"
-        ),
+    # exact re-rank on the shortlist only: broadcast the ≤200 (qid, nid)
+    # pairs, stream the corpus once more for their arrays/norms, attach
+    # the 20 query arrays — no full-width row ever crosses a shuffle
+    cor = base.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"))
+    rescored = (
+        cor.join(F.broadcast(shortlist), F.col("vec_id") == F.col("nid"))
+        .join(
+            F.broadcast(qs.select("qid", "qe", "q_nrm")).withColumnRenamed("qid", "qid2"),
+            F.col("qid") == F.col("qid2"),
+        )
+        .select(
+            "qid",
+            "nid",
+            (_dot(_dbl("qe"), _dbl("embedding")) / F.col("q_nrm") / F.col("nrm")).alias(
+                "cos"
+            ),
+        )
     )
     w3 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     mine = (
