@@ -53,6 +53,10 @@ EXTRA = [
     # late-r03 additions, timed for the record
     "llm_block_dedup",
     "llm_ann_pq",
+    # r07: the bucketed Q5 flagship (the write is one-time, outside the
+    # timed reps after the warm-up round) — records the exchange-free
+    # fact-join plan next to its unbucketed twin every round
+    "agg_revenue_by_nation_bucketed",
 ]
 
 
