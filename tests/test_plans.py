@@ -74,6 +74,9 @@ def test_bucketed_flagship_fact_join_has_no_shuffle(spark, sf_dir):
     smj_id = int(re.search(r"\((\d+)\) SortMergeJoin", s).group(1))
     exch_id = int(re.search(r"\((\d+)\) Exchange\b", s).group(1))
     assert exch_id > smj_id, "shuffle Exchange must be the post-join agg, not a join input"
+    # r07 lesson 4: the customer broadcast build is semi-filtered to the
+    # region's nationkeys before it ships (see the unbucketed pin)
+    assert "LeftSemi" in s, "customer broadcast no longer semi-filtered to region nations"
 
 
 def test_ivf_broadcasts_small_sides(spark, sf_dir):
@@ -482,6 +485,11 @@ def test_q5_region_restriction_precedes_fact_shuffle(spark, sf_dir):
         "supplier dim before the fact shuffle"
     )
     assert "CartesianProduct" not in s
+    # r07: the customer broadcast build must itself be semi-filtered to
+    # the ASIA nationkeys before it ships (a 1.5M-row × 2-int build cost
+    # ~1 s/query at sf10; the semi-filter cut it 5× — BENCH.md r07
+    # bucketing lesson 4, applied to both flagship variants)
+    assert "LeftSemi" in s, "customer broadcast no longer semi-filtered to region nations"
 
 
 def test_q7_pair_restriction_precedes_fact_shuffle(spark, sf_dir):
