@@ -254,6 +254,30 @@ def test_exists_decorrelated_to_semi_anti(spark, sf_dir):
     assert "LeftAnti" in s
 
 
+def test_ann_quantized_window_is_narrow(spark, sf_dir):
+    """llm_ann_quantized (r07 rework, VERDICT r06 item 5): the per-query
+    top-k windows must see only (qid, nid, score) — the r03 shape carried
+    two 64-float arrays per pair-row through the ≤|queries|-partition
+    window exchange, the stage whose cost grew 9.9x/decade. Pins: every
+    Window/WindowGroupLimit input is exactly 3 columns, none an
+    embedding, and map-side pruning is engaged (Partial+Final pairs)."""
+    import re
+
+    s = _plan(spark, "llm_ann_quantized", sf_dir)
+    blocks = re.findall(
+        r"\(\d+\) (?:Window|WindowGroupLimit)\b\nInput \[(\d+)\]: \[([^\]]*)\]", s
+    )
+    assert blocks, "expected Window operators in the plan"
+    for width, cols in blocks:
+        assert width == "3", f"window input widened to {width} cols: {cols}"
+        assert "embedding" not in cols and "qe#" not in cols, (
+            f"embedding array crosses the window shuffle: {cols}"
+        )
+    assert ", Partial" in s and ", Final" in s, (
+        "WindowGroupLimit map-side (Partial) pruning not engaged"
+    )
+
+
 def test_near_dedup_has_no_pair_level_vector_join(spark, sf_dir):
     """llm_near_dedup_embedding: candidate verification is the per-bucket
     FlatMapGroupsInPandas matmul; a pair-level join carrying embedding
