@@ -47,6 +47,16 @@ _PROMOTED_R07 = [
     # r07 shortlist rework (narrow window rows + broadcast re-rank join —
     # same oracle, new plan; VERDICT r06 item 5):
     "llm_ann_quantized",
+    # r07 determinism hardening (caught by the first full-registry sf1
+    # parity sweep; engine AND oracle changed, all three re-verified at
+    # sf0.01/sf0.1/sf1): exact-cents Q7 revenue, total-order min_by/
+    # max_by tiebreaks, floor-snap (not round) HOF grids:
+    "agg_volume_shipping",
+    "agg_first_last_ordered",
+    "fn_array_hof",
+    "join_range_bucketized",
+    "join_theta_range",
+    "join_skew_salted",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:

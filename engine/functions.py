@@ -416,10 +416,12 @@ def fn_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_hof",
     oracle="""
     SELECT vec_id,
-           round(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
+           floor(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 10000 + 0.5)
+               / 10000 AS norm2,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS esum
+           floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS esum
     FROM embeddings
     """,
 )
@@ -427,17 +429,26 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions: transform / filter / aggregate / zip_with.
     norm² computed as zip_with(e, e, *) then aggregate-fold — the building
     block of the cosine similarity ops (§2.10). All casts to double happen
-    BEFORE the multiply so both engines do float64 math in the same order."""
+    BEFORE the multiply so both engines do float64 math in the same order.
+
+    The 4dp grid snap is floor(x*1e4 + 0.5)/1e4 — the SAME IEEE ops on
+    the same double in both engines, so the result is bit-identical —
+    NOT round(): Spark's round is exact-BigDecimal HALF_UP while
+    DuckDB's is multiply-then-std::round, and the two disagree when a
+    fold lands within one ulp of a half-boundary (esum -0.0001 vs -0.0
+    at sf1, caught by the r07 full-registry sf1 parity sweep)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     prods = F.zip_with(dbl, dbl, lambda x, y: x * y)
+
+    def snap4(col: F.Column) -> F.Column:
+        return F.floor(col * 10000 + F.lit(0.5)).cast("double") / 10000
+
     return e.select(
         "vec_id",
-        F.round(
-            F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("norm2"),
+        snap4(F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)).alias("norm2"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4).alias("esum"),
+        snap4(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)).alias("esum"),
     )
 
 

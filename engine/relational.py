@@ -331,7 +331,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sizes AS (SELECT DISTINCT p_size FROM part)
     SELECT s.p_size, count(*) AS n_items,
-           round(sum(l.l_extendedprice), 4) AS total_price
+           round(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0,
+                 4) AS total_price
     FROM sizes s JOIN lineitem l
       ON l.l_quantity >= s.p_size - 2 AND l.l_quantity <= s.p_size + 2
     GROUP BY s.p_size
@@ -354,7 +355,17 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_size")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            # exact-cents sum (r07 sf1 parity find): at sf1 the group sums
+            # reach ~2e10 where a 4dp grid sits far below double
+            # summation-order noise; per-row cents are exact for a 2dp
+            # money column, so the sum is an exact integer on both engines
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                / 100.0,
+                4,
+            ).alias("total_price"),
         )
     )
 
@@ -364,7 +375,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sizes AS (SELECT DISTINCT p_size FROM part)
     SELECT s.p_size, count(*) AS n_items,
-           round(sum(l.l_extendedprice), 4) AS total_price
+           round(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0,
+                 4) AS total_price
     FROM sizes s JOIN lineitem l
       ON l.l_quantity >= s.p_size - 2 AND l.l_quantity <= s.p_size + 2
     GROUP BY s.p_size
@@ -401,7 +413,17 @@ def join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_size")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            # exact-cents sum (r07 sf1 parity find): at sf1 the group sums
+            # reach ~2e10 where a 4dp grid sits far below double
+            # summation-order noise; per-row cents are exact for a 2dp
+            # money column, so the sum is an exact integer on both engines
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                / 100.0,
+                4,
+            ).alias("total_price"),
         )
     )
 
@@ -960,22 +982,29 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_first_last_ordered",
     oracle="""
     SELECT event_type,
-           arg_min(event_id, ts) AS first_event,
-           arg_max(event_id, ts) AS last_event,
-           arg_max(user_id, value) AS top_value_user
+           (min(struct_pack(ts:=ts, id:=event_id))).id AS first_event,
+           (max(struct_pack(ts:=ts, id:=event_id))).id AS last_event,
+           (max(struct_pack(v:=value, id:=event_id, u:=user_id))).u AS top_value_user
     FROM events GROUP BY event_type
     """,
 )
 def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min_by/max_by ≡ arg_min/arg_max. ts is unique in the fixture
-    (verified at sf0.01 and sf0.1) so ties cannot occur on it; the value
-    tie-break risk on arg_max(user_id, value) is accepted for the fixture
-    (values are 2dp-random over 49k distinct)."""
+    """min_by/max_by ≡ arg_min/arg_max, under a TOTAL order.
+
+    The original formulation ordered by ts / value alone and leaned on
+    "ts is unique in the fixture" — true at sf0.01/sf0.1, false in any
+    scaled fixture (make_scaled replicates timestamps across copies),
+    and never safe at 100 TB where event times collide constantly. The
+    r07 sf1 parity sweep caught the resulting engine disagreement, so
+    every ordering now carries the unique event_id as tiebreak: Spark
+    min_by/max_by over a struct (lexicographic), DuckDB min/max of the
+    same struct (arg_min rejects composite order values) with the
+    payload riding inside."""
     ev = load_tables(spark, sf_dir)["events"]
     return ev.groupBy("event_type").agg(
-        F.min_by("event_id", "ts").alias("first_event"),
-        F.max_by("event_id", "ts").alias("last_event"),
-        F.max_by("user_id", "value").alias("top_value_user"),
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event"),
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event"),
+        F.max_by("user_id", F.struct("value", "event_id")).alias("top_value_user"),
     )
 
 
@@ -1553,7 +1582,8 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_orders,
-           round(sum(o.o_totalprice), 4) AS total
+           round(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0,
+                 4) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -1585,7 +1615,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # exact-cents sum — see join_range_bucketized (r07 sf1 find)
+            F.round(
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0,
+                4,
+            ).alias("total"),
         )
     )
 

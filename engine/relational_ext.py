@@ -70,11 +70,12 @@ def agg_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           round(sum(volume_cents) / 100.0, 2) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l.l_shipdate) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                    AS BIGINT) AS volume_cents
         FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -98,7 +99,14 @@ def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the other 23 nations are dropped by a broadcast-hash probe miss
     BEFORE the lineitem⋈orders exchange ever sees them (~2/25 of the
     rows shuffle instead of all). The surviving pair predicate is
-    re-checked post-join; one shuffle total (orderkey)."""
+    re-checked post-join; one shuffle total (orderkey).
+
+    Revenue uses the repo's exact-cents discipline (per-row
+    floor(x*100+0.5) BIGINT, summed exactly — engine/tpch_ext.py): the
+    raw double sum diverged from DuckDB by one cent at sf1 (~240k
+    summands/group at ~68M magnitude crosses the half-cent boundary
+    under different summation orders — caught by the r07 full-registry
+    sf1 parity sweep)."""
     t = load_tables(spark, sf_dir)
     pair = ("NATION_1", "NATION_2")
     n1 = t["nation"].where(F.col("n_name").isin(*pair)).select(
@@ -130,7 +138,14 @@ def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue")
         )
     )
