@@ -57,6 +57,7 @@ _PROMOTED_R07 = [
     "join_range_bucketized",
     "join_theta_range",
     "join_skew_salted",
+    "stream_sliding_avg",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:

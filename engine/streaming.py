@@ -134,21 +134,38 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH offs AS (SELECT unnest(generate_series(0, 3)) AS k)
     SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
              - k * INTERVAL 15 MINUTE AS ws,
-           round(avg(value), 6) AS avg_value, count(*) AS n
+           floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*) * 1000000 + 0.5) / 1000000 AS avg_value,
+           count(*) AS n
     FROM events, offs
     GROUP BY 1
     """,
 )
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 15 min: each event lands in 4 windows."""
+    """1-hour window sliding every 15 min: each event lands in 4 windows.
+
+    The average is exact-cents-sum / count with a floor 6dp snap, NOT
+    avg()+round(): value is a 2dp column and window populations here are
+    powers of two, so the true mean lands EXACTLY on decimal
+    half-boundaries (46.2796875 at sf1) where Spark's BigDecimal HALF_UP
+    and DuckDB's std::round disagree — caught by the r07 sf1 parity
+    sweep. Cents sums are exact integers on both engines, the division
+    chain is the same IEEE ops, and floor is bit-identical."""
     s = _read_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
-        F.avg("value").alias("avg_raw"), F.count("*").alias("n")
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        F.count("*").alias("n"),
     )
     out = _run_to_memory(agg, "complete")
     return out.select(
         F.col("window.start").alias("ws"),
-        F.round("avg_raw", 6).alias("avg_value"),
+        (
+            F.floor(
+                F.col("cents").cast("double") / 100.0 / F.col("n") * 1000000
+                + F.lit(0.5)
+            ).cast("double")
+            / 1000000
+        ).alias("avg_value"),
         "n",
     )
 
