@@ -34,30 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys whose implementation changed THIS round — their recorded driver
 # evidence is stale by construction, so they jump the queue regardless of
 # past green rows (the ADVICE-r05 staleness lesson: a changed key must
-# never coast on its old rank):
-# - sink_bucketed_join: bucketed-layout creation extracted into the shared
-#   engine.io.bucketed_facts helper in r07 (same oracle, same plan shape —
-#   re-check anyway per doctrine).
-# (agg_revenue_by_nation_bucketed is NEW in r07 and rides tier 4.)
-_PROMOTED_R07 = [
-    # r07 plan rework (ASIA semi-filter on customer before the orders
-    # join — same oracle, new plan) + the bucketed-layout helper rework:
-    "agg_revenue_by_nation",
-    "sink_bucketed_join",
-    # r07 shortlist rework (narrow window rows + broadcast re-rank join —
-    # same oracle, new plan; VERDICT r06 item 5):
-    "llm_ann_quantized",
-    # r07 determinism hardening (caught by the first full-registry sf1
-    # parity sweep; engine AND oracle changed, all three re-verified at
-    # sf0.01/sf0.1/sf1): exact-cents Q7 revenue, total-order min_by/
-    # max_by tiebreaks, floor-snap (not round) HOF grids:
+# never coast on its old rank). (agg_pricing_summary_sorted is NEW in r08
+# and rides tier 4.)
+_PROMOTED_R08 = [
+    # r08 lossless-quantization fix (ADVICE r07: per-row snap at 1e-4 —
+    # exact for a 2dp×2dp product — replaces cent snapping; engine AND
+    # oracle changed, re-verified at sf0.01/sf0.1/sf1):
     "agg_volume_shipping",
-    "agg_first_last_ordered",
-    "fn_array_hof",
-    "join_range_bucketized",
-    "join_theta_range",
-    "join_skew_salted",
-    "stream_sliding_avg",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
@@ -100,7 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's fixed-prefix check lands on the keys that need it most:
 
     tier 0: keys whose implementation changed since their last driver
-            row (_PROMOTED_R07) — their green rows are stale evidence;
+            row (_PROMOTED_R08) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
     tier 4: never-driver-checked keys in name order (16 remain after
@@ -112,7 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adds no evidence).
     """
     rank, last_pass = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R07)}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R08)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]

@@ -21,6 +21,7 @@ single-node.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,18 +85,23 @@ def tmpdir(prefix: str) -> str:
     return d
 
 
-#: Per-session conf overrides (id(spark) → {conf: value}). ``configure``
+#: Per-session conf overrides (session → {conf: value}). ``configure``
 #: re-applies SESSION_CONF on every ``load_tables`` cache miss, which used
 #: to silently clobber any bench-harness toggle set between queries (the
 #: r06 AQE tier was a no-op for exactly this reason — ADVICE r06, high).
 #: Overrides registered here WIN over SESSION_CONF on every re-apply, so a
-#: harness decision survives arbitrary configure() calls.
-_conf_overrides: dict[int, dict[str, str]] = {}
+#: harness decision survives arbitrary configure() calls. Keyed WEAKLY by
+#: the session object (ADVICE r07): an id()-keyed dict never evicted, so a
+#: new session allocated at a dead session's address silently inherited
+#: its overrides (e.g. AQE-off from a prior bench fixture).
+_conf_overrides: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def set_conf_overrides(spark: SparkSession, overrides: dict[str, str]) -> None:
     """Set runtime confs that persist across ``configure()`` re-applies."""
-    _conf_overrides.setdefault(id(spark), {}).update(overrides)
+    _conf_overrides.setdefault(spark, {}).update(overrides)
     for k, v in overrides.items():
         spark.conf.set(k, v)
 
@@ -107,7 +113,7 @@ def configure(spark: SparkSession) -> SparkSession:
     ``SESSION_CONF`` — the engine's defaults must not undo an explicit
     harness decision mid-run.
     """
-    ov = _conf_overrides.get(id(spark), {})
+    ov = _conf_overrides.get(spark, {})
     for k, v in SESSION_CONF.items():
         spark.conf.set(k, ov.get(k, v))
     return spark
@@ -591,10 +597,12 @@ def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 )
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed tables + co-located join: both fact tables written
-    bucketed 8-ways on the join key, then joined WITHOUT a shuffle — the
-    plan has no Exchange on either side (asserted in
-    tests/test_plans.py). This is the 100 TB pattern for repeated joins
-    on the same key: pay the shuffle once at write time, never again.
+    bucketed on the join key with an INPUT-SIZED bucket count (see
+    :func:`bucketed_facts` — 8 only for small fixtures, up to 2×cores at
+    sf100), then joined WITHOUT a shuffle — the plan has no Exchange on
+    either side (asserted in tests/test_plans.py). This is the 100 TB
+    pattern for repeated joins on the same key: pay the shuffle once at
+    write time, never again.
     """
     o, li = bucketed_facts(spark, sf_dir)
     # force SMJ: at tiny SF the planner would broadcast, which hides the

@@ -70,12 +70,12 @@ def agg_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume_cents) / 100.0, 2) AS revenue
+           CAST((sum(volume_e4) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l.l_shipdate) AS l_year,
-               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
-                    AS BIGINT) AS volume_cents
+               CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT) AS volume_e4
         FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -101,12 +101,16 @@ def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows shuffle instead of all). The surviving pair predicate is
     re-checked post-join; one shuffle total (orderkey).
 
-    Revenue uses the repo's exact-cents discipline (per-row
-    floor(x*100+0.5) BIGINT, summed exactly — engine/tpch_ext.py): the
-    raw double sum diverged from DuckDB by one cent at sf1 (~240k
-    summands/group at ~68M magnitude crosses the half-cent boundary
-    under different summation orders — caught by the r07 full-registry
-    sf1 parity sweep)."""
+    Revenue quantizes per-row at TEN-THOUSANDTHS, not cents (ADVICE r07):
+    a 2dp price × 2dp (1-discount) product is exactly 4dp, so
+    floor(x*10000+0.5) recovers the exact decimal per row and the integer
+    sum equals the true decimal sum — zero accumulation drift at any
+    scale (per-row CENT snapping loses O(sqrt(n)) cents vs canonical Q7).
+    The final 2dp presentation rounds in INTEGER domain ((s+50) DIV 100)
+    because Spark round() (BigDecimal HALF_UP) and DuckDB round()
+    (multiply-then-std::round) disagree near half boundaries, and a /1e4
+    quotient HITS exact .xx5 boundaries. Raw double summing was ruled out
+    by the r07 sf1 parity sweep (one-cent divergence at ~68M magnitude)."""
     t = load_tables(spark, sf_dir)
     pair = ("NATION_1", "NATION_2")
     n1 = t["nation"].where(F.col("n_name").isin(*pair)).select(
@@ -137,16 +141,18 @@ def agg_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.floor(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                        + F.lit(0.5)
-                    ).cast("long")
-                )
-                / 100.0,
-                2,
-            ).alias("revenue")
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("_s4")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("CAST((_s4 + 50) DIV 100 AS DOUBLE)") / 100.0).alias("revenue"),
         )
     )
 
