@@ -41,6 +41,10 @@ _PROMOTED_R08 = [
     # exact for a 2dp×2dp product — replaces cent snapping; engine AND
     # oracle changed, re-verified at sf0.01/sf0.1/sf1):
     "agg_volume_shipping",
+    # r08 scale-safe reshape (VERDICT r07 item 3: bucket bits now grow
+    # with corpus size — engine AND oracle changed, re-verified at
+    # sf0.01/sf0.1/sf1 + the synthetic edge corpus):
+    "llm_ann_lsh",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:

@@ -59,6 +59,10 @@ EXTRA = [
     # recorded spread) and is excluded from the reported number by min()
     # over the remaining warm reps.
     "agg_revenue_by_nation_bucketed",
+    # r08: the sorted Q1 flagship — records the row-group-skipping
+    # layout plan next to its unsorted twin every round (same one-time
+    # write-cost treatment as the bucketed key above)
+    "agg_pricing_summary_sorted",
 ]
 
 

@@ -586,6 +586,48 @@ def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return spark.table(names[0]), spark.table(names[1])
 
 
+def sorted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem read from an ingest-sorted layout (range-partitioned +
+    sorted on ``l_shipdate``), creating it on first use — the layout twin
+    of :func:`bucketed_facts`, serving the scan-bound date-filtered shape
+    (``agg_pricing_summary_sorted``, VERDICT r07 item 1).
+
+    Why layout and not conf: Q1's pushed ``l_shipdate <= cutoff`` filter
+    keeps ~83% of rows, and on the arrival-ordered fixture EVERY row
+    group's [min,max] straddles the cutoff — the pushed min/max predicate
+    prunes nothing, so both scan-conf levers were measured useless (r07).
+    Range-partitioning on the filter column makes row-group stats
+    SELECTIVE: the ~17% of row groups entirely above the cutoff are
+    skipped at footer time, and the sorted shipdate column delta-encodes
+    to ~nothing. This is the standard ingest-sort/Z-order pattern every
+    lake deployment applies to its dominant filter column; at 100 TB the
+    sort costs one shuffle at write time and pays on every scan after.
+
+    Partition count is INPUT-SIZED via :func:`shuffle_partitions_for`
+    (same rule as the bucketed layout): one file per range, each file one
+    ~128 MB-row-grouped parquet whose stats are tight because the rows
+    inside are sorted. ``repartitionByRange`` samples to pick bounds —
+    file BOUNDARIES are therefore not bit-stable across builds, but the
+    row SET is identical and every query result over it deterministic.
+    """
+    n_parts = shuffle_partitions_for(sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # fixed path, content deterministic per (sf, partition count — both in
+    # the name): a stale dir from an earlier process is reused as-is when
+    # complete (_SUCCESS), rebuilt otherwise — bounded disk, like the
+    # bucketed layout
+    path = os.path.join("/tmp/engine_srt", f"lineitem_srt_{sf_tag}_p{n_parts}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_tables(spark, sf_dir)["lineitem"]
+            .repartitionByRange(n_parts, F.col("l_shipdate"))
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 @query(
     "sink_bucketed_join",
     oracle="""

@@ -568,6 +568,99 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pricing_summary_sorted",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty_c)    AS DOUBLE) / 100.0     AS sum_qty,
+           CAST(sum(price_c)  AS DOUBLE) / 100.0     AS sum_base_price,
+           CAST(sum(dp4)      AS DOUBLE) / 10000.0   AS sum_disc_price,
+           CAST(sum(CAST(ch6 AS DECIMAL(20,0))) AS DOUBLE) / 1000000.0
+                                                     AS sum_charge,
+           (CAST(sum(qty_c)   AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+                                                     AS avg_qty,
+           (CAST(sum(price_c) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+                                                     AS avg_price,
+           (CAST(sum(disc_c)  AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+                                                     AS avg_disc,
+           count(*)                                  AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity      * 100 + 0.5) AS BIGINT) AS qty_c,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(floor(l_discount      * 100 + 0.5) AS BIGINT) AS disc_c,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS dp4,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))      AS ch6
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP layout twin (VERDICT r07 item 1): Q1 over the
+    ingest-sorted lineitem layout (``engine.io.sorted_lineitem`` —
+    range-partitioned + sorted on ``l_shipdate``).
+
+    Same logical query as ``agg_pricing_summary``; two deliberate
+    differences:
+
+    1. **Layout.** Q1 is scan-bound (the plan was already right: pushed
+       filter, 7-column pruning, two-phase agg) and its pushed
+       ``l_shipdate <= cutoff`` predicate prunes NOTHING on the
+       arrival-ordered fixture because every row group straddles the
+       cutoff. On the sorted layout the ~17% of row groups above the
+       cutoff are footer-skipped and shipdate delta-encodes — the fix
+       that remained after both scan-conf levers were measured and
+       rejected (BENCH.md r07). The unsorted original stays registered
+       as the measured comparison, mirroring the bucketed-Q5 twin.
+    2. **Exact integer arithmetic.** Changing layout changes summation
+       order, and raw double money sums diverge in the last ulp between
+       orders (the r07 sf1 parity-sweep lesson). Every measure is
+       snapped per-row to its EXACT decimal grid — quantity/price/
+       discount/tax are 2dp so ``floor(x*100+0.5)`` is lossless; the
+       disc-price product is exactly 4dp (2dp×2dp) and charge exactly
+       6dp — then summed as integers (charge as DECIMAL(20,0): its
+       1e-6$-unit sum crosses int64 range at ~sf100). Sums are
+       order-independent and equal the true decimal sums at ANY scale;
+       the only floating-point ops are the final constant divisions,
+       bit-identical in both engines. No round() anywhere — the
+       Spark/DuckDB round() half-boundary disagreement never enters.
+    """
+    from engine.io import sorted_lineitem
+
+    li = sorted_lineitem(spark, sf_dir)
+    c = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    dp4 = c("l_extendedprice") * (F.lit(100) - c("l_discount"))
+    ch6 = dp4 * (F.lit(100) + c("l_tax"))
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(c("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(c("l_extendedprice")).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(dp4).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(ch6.cast("decimal(20,0)")).cast("double") / 1000000.0).alias(
+                "sum_charge"
+            ),
+            (
+                (F.sum(c("l_quantity")).cast("double") / 100.0) / n.cast("double")
+            ).alias("avg_qty"),
+            (
+                (F.sum(c("l_extendedprice")).cast("double") / 100.0) / n.cast("double")
+            ).alias("avg_price"),
+            (
+                (F.sum(c("l_discount")).cast("double") / 100.0) / n.cast("double")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
     "agg_revenue_by_nation",
     plan_cache=True,
     oracle="""

@@ -516,6 +516,60 @@ def test_q5_region_restriction_precedes_fact_shuffle(spark, sf_dir):
     assert "LeftSemi" in s, "customer broadcast no longer semi-filtered to region nations"
 
 
+def test_sorted_q1_scan_is_sorted_layout_with_pushdown(spark, sf_dir):
+    """agg_pricing_summary_sorted (VERDICT r07 item 1): the scan must
+    read the ingest-sorted layout (where row-group min/max on l_shipdate
+    is selective), keep the pushed shipdate filter, and stay
+    column-pruned — layout only pays off if the pushed predicate still
+    reaches the footer check."""
+    s = _plan(spark, "agg_pricing_summary_sorted", sf_dir)
+    assert "engine_srt" in s, "scan does not read the sorted layout"
+    assert "LessThanOrEqual(l_shipdate" in s, "shipdate filter not pushed"
+    assert "l_orderkey" not in s.split("ReadSchema")[1][:400], "scan not column-pruned"
+
+
+def test_sorted_layout_row_groups_are_skippable(spark, sf_dir):
+    """The point of the sorted layout, asserted on the actual files: on
+    the arrival-ordered fixture every row group straddles the Q1 cutoff
+    (pushed min/max prunes nothing); on the sorted layout the ~17% of
+    rows above the cutoff sit in row groups whose MIN exceeds it, which
+    the parquet reader skips at footer time. Checked with pyarrow footer
+    stats — the same stats Spark's reader consults."""
+    import datetime
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from engine.io import sorted_lineitem
+
+    sorted_lineitem(spark, sf_dir)  # ensure the layout exists
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    paths = g.glob(f"/tmp/engine_srt/lineitem_srt_{tag}_p*/part-*.parquet")
+    assert paths, "sorted layout missing"
+    cutoff = datetime.datetime(2000, 9, 2)
+    total = skippable = 0
+    skip_rows = all_rows = 0
+    for p in paths:
+        meta = pq.ParquetFile(p).metadata
+        ship_idx = meta.schema.names.index("l_shipdate")
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            stats = rg.column(ship_idx).statistics
+            total += 1
+            all_rows += rg.num_rows
+            if stats is not None and stats.min > cutoff:
+                skippable += 1
+                skip_rows += rg.num_rows
+    assert skippable >= 1, "no row group entirely above the cutoff — sort ineffective"
+    # ~17% of rows are above the cutoff; they must be concentrated in
+    # skippable row groups, not smeared (allow the one boundary group)
+    assert skip_rows / all_rows > 0.10, (
+        f"only {skip_rows}/{all_rows} rows in skippable groups"
+    )
+
+
 def test_q7_pair_restriction_precedes_fact_shuffle(spark, sf_dir):
     """agg_volume_shipping (r04 rework): both facts pre-restricted to
     the nation pair via broadcast probes before the orderkey exchange."""
