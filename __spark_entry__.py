@@ -45,6 +45,12 @@ _PROMOTED_R08 = [
     # with corpus size — engine AND oracle changed, re-verified at
     # sf0.01/sf0.1/sf1 + the synthetic edge corpus):
     "llm_ann_lsh",
+    # r08 real-format codec (VERDICT r07 item 6: BMP replaces the
+    # synthetic IMG1 container; decode oracle's payload_len changed to
+    # the BMP size arithmetic — re-verified at sf0.01/sf0.1):
+    "udf_multimodal_decode",
+    "udf_multimodal_frames",
+    "udf_multimodal_resize",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
