@@ -206,19 +206,64 @@ def main() -> None:
         except Exception as e:  # sf1 is additive telemetry — never fail the bench
             out["sf1_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    # Streaming throughput record (VERDICT r06 item 6): the one family
-    # with correctness evidence but no perf record. stream_cdc_pipeline
-    # (the north-star flagship: file stream → foreachBatch → idempotent
-    # versioned-snapshot merge) is timed end-to-end — a full availableNow
-    # run over the 4 time-quartile input files (4 micro-batches, each
-    # merging into and rewriting the snapshot), fresh checkpoint per run
-    # so every run replays the whole feed. Warm rep 1 builds the cached
-    # stream-input files; the recorded time is the min of 2 further runs.
+    # Streaming throughput record (VERDICT r06 item 6 → r07 item 4): the
+    # four heaviest stateful shapes timed end-to-end — each run is a full
+    # availableNow replay over the time-quartile input files with a fresh
+    # checkpoint (warm rep 1 builds the cached stream-input files; the
+    # recorded time is the min of 2 further runs), plus per-micro-batch
+    # (rows, ms) breakdown captured by a StreamingQueryListener during
+    # the LAST timed run, and two larger-batch cdc-pipeline points
+    # (2 files/trigger, all-at-once) recording how per-batch merge
+    # throughput scales with batch size. Fixed micro-batch machinery
+    # dominates at small scale, so the claim is "per-batch merge
+    # throughput scales", never "rows/s is constant".
     if not os.environ.get("SPARK_GRAFT_SKIP_STREAM"):
         try:
-            from engine.io import apply_bench_confs, load_tables
+            from pyspark.sql.streaming import StreamingQueryListener
 
-            fn = registry.QUERIES["stream_cdc_pipeline"]
+            from engine.io import apply_bench_confs, load_tables
+            from engine.streaming import _cdc_pipeline
+
+            progress: list[dict] = []
+
+            class _Capture(StreamingQueryListener):
+                def onQueryStarted(self, event):
+                    pass
+
+                def onQueryProgress(self, event):
+                    p = event.progress
+                    ms = (p.durationMs or {}).get("triggerExecution")
+                    progress.append(
+                        {"batch": p.batchId, "rows": p.numInputRows, "ms": ms}
+                    )
+
+                def onQueryIdle(self, event):
+                    pass
+
+                def onQueryTerminated(self, event):
+                    pass
+
+            listener = _Capture()
+            spark.streams.addListener(listener)
+
+            def run_stream(fn, dir_):
+                fn(spark, dir_).write.format("noop").mode("overwrite").save()  # warm
+                secs, batches = [], []
+                for _ in range(2):
+                    progress.clear()
+                    t0 = time.perf_counter()
+                    fn(spark, dir_).write.format("noop").mode("overwrite").save()
+                    secs.append(time.perf_counter() - t0)
+                    time.sleep(0.3)  # listener delivery is async
+                    batches = [dict(b) for b in progress]
+                return min(secs), batches
+
+            STREAM_KEYS = [
+                "stream_cdc_pipeline",
+                "stream_stream_join",
+                "stream_timeout_sessions",
+                "stream_scd2_foreachbatch",
+            ]
             stream: dict[str, dict] = {}
             dirs = [(sf_dir, "base")]
             if "sf1" in out:
@@ -226,19 +271,28 @@ def main() -> None:
             for dir_, label in dirs:
                 apply_bench_confs(spark, dir_)
                 rows = load_tables(spark, dir_)["events"].count()
-                fn(spark, dir_).write.format("noop").mode("overwrite").save()  # warm
-                secs = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    fn(spark, dir_).write.format("noop").mode("overwrite").save()
-                    secs.append(time.perf_counter() - t0)
-                dt = min(secs)
-                stream[label] = {
-                    "sec": round(dt, 3),
-                    "micro_batches": 4,
-                    "rows": rows,
-                    "rows_per_sec": int(rows / dt),
-                }
+                block: dict[str, dict] = {}
+                for key in STREAM_KEYS:
+                    dt, batches = run_stream(registry.QUERIES[key], dir_)
+                    block[key] = {
+                        "sec": round(dt, 3),
+                        "rows": rows,
+                        "rows_per_sec": int(rows / dt),
+                        "batches": batches,
+                    }
+                # larger-batch points: same merge, bigger micro-batches
+                for mf, tag in ((2, "cdc_pipeline_batch2"), (None, "cdc_pipeline_batch_all")):
+                    dt, batches = run_stream(
+                        lambda sp, d, _mf=mf: _cdc_pipeline(sp, d, max_files=_mf), dir_
+                    )
+                    block[tag] = {
+                        "sec": round(dt, 3),
+                        "rows": rows,
+                        "rows_per_sec": int(rows / dt),
+                        "batches": batches,
+                    }
+                stream[label] = block
+            spark.streams.removeListener(listener)
             out["streaming"] = stream
         except Exception as e:  # additive telemetry — never fail the bench
             out["streaming_error"] = f"{type(e).__name__}: {e}"[:300]

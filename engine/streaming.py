@@ -545,6 +545,18 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same snapshot — at-least-once delivery becomes exactly-once state
     (SURVEY §4). Final snapshot ≡ batch latest-per-key over all events.
     """
+    return _cdc_pipeline(spark, sf_dir, max_files=1)
+
+
+def _cdc_pipeline(spark: SparkSession, sf_dir: str, max_files: int | None = 1) -> DataFrame:
+    """stream_cdc_pipeline's body with the micro-batch size as a knob:
+    ``max_files`` files per trigger over the 4 time-quartile input files
+    (None = the whole feed in ONE batch). The registered key pins
+    max_files=1 (4 merges — the per-batch machinery under test);
+    bench.py's larger-batch points call this directly to record how
+    per-batch merge throughput scales with batch size (VERDICT r07
+    item 4). Snapshot semantics are idempotent/order-independent, so
+    every batch size converges to the same final snapshot."""
     snap_dir = io_tmpdir("engine_cdc_snap_")
     cols = ["user_id", "event_id", "ts", "value"]
 
@@ -561,7 +573,7 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_snap = dedup_extract(incoming, ["user_id"], "ts", "event_id")
         new_snap.write.mode("overwrite").parquet(os.path.join(snap_dir, f"v{batch_id}"))
 
-    s = _read_stream(spark, sf_dir, max_files=1)
+    s = _read_stream(spark, sf_dir, max_files=max_files)
     with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
         q = (
             s.writeStream.foreachBatch(merge_batch)
