@@ -39,6 +39,29 @@ HEADLINE = [
     "llm_centroids",
 ]
 
+#: Deployment doctrine (r08, VERDICT r07 item 7): at sf≥10 the LAYOUT
+#: TWINS are the default plans — a 100 TB deployment ingest-sorts its
+#: dominant-filter fact and co-buckets its repeated-join facts, so the
+#: headline at scale reflects the layout such a deployment actually
+#: runs; the unsorted/unbucketed originals stay registered AND timed
+#: (EXTRA) as the measured comparison. Below sf10 the originals remain
+#: the headline: at sf0.1/sf1 the fixed local-mode scheduling floor
+#: dominates and no layout (or conf) claim is made there.
+_LAYOUT_TWINS = {
+    "agg_pricing_summary": "agg_pricing_summary_sorted",
+    "agg_revenue_by_nation": "agg_revenue_by_nation_bucketed",
+}
+_TWIN_THRESHOLD_BYTES = 1 << 30  # ~sf10 fixture = 1.8 GB; sf1 = 180 MB
+
+
+def headline_for(sf_dir: str) -> list[str]:
+    from engine.io import _dir_bytes
+
+    size = _dir_bytes(sf_dir) or 0
+    if size >= _TWIN_THRESHOLD_BYTES:
+        return [_LAYOUT_TWINS.get(k, k) for k in HEADLINE]
+    return list(HEADLINE)
+
 #: timed and reported per-query, but EXCLUDED from the headline total so
 #: "value" stays comparable with BASELINE.md's original 8-query sum
 EXTRA = [
@@ -140,17 +163,21 @@ def main() -> None:
         sf_val = sf
     from engine import similarity
 
+    hl = headline_for(sf_dir)
     out = {
         "metric": "headline_warm_total",
-        "value": round(sum(times[n] for n in HEADLINE), 4),
+        "value": round(sum(times[n] for n in hl), 4),
         "unit": "sec",
+        # which 8 keys the total sums — the layout twins at sf≥10
+        # (deployment doctrine, see headline_for), the originals below
+        "headline_keys": hl,
         "queries": times,
         "spread": spread,
         # tight-loop twin (isolated engine cost — see tight_at): compare
         # against "queries" to see each key's mixed-workload JVM debt
         "queries_tight": tight,
         "tight_spread": tight_spread,
-        "tight_value": round(sum(tight[n] for n in HEADLINE), 4),
+        "tight_value": round(sum(tight[n] for n in hl), 4),
         "sf": sf_val,
         # what actually ran (sticky overrides — see apply_bench_confs)
         "confs": bench_confs,
@@ -193,12 +220,14 @@ def main() -> None:
             sf1_confs = apply_bench_confs(spark, sf1_dir)
             t1, s1 = summarize(bench_at(sf1_dir, 3))
             t1t, _s1t = summarize(tight_at(sf1_dir, 2))
+            hl1 = headline_for(sf1_dir)
             out["sf1"] = {
-                "value": round(sum(t1[n] for n in HEADLINE), 4),
+                "value": round(sum(t1[n] for n in hl1), 4),
+                "headline_keys": hl1,
                 "queries": t1,
                 "spread": s1,
                 "queries_tight": t1t,
-                "tight_value": round(sum(t1t[n] for n in HEADLINE), 4),
+                "tight_value": round(sum(t1t[n] for n in hl1), 4),
                 "sf": sf_val * 10 if isinstance(sf_val, float) else sf_val,
                 "dedup_cluster_rounds": similarity.LAST_PROPAGATION_ROUNDS,
                 "confs": sf1_confs,
