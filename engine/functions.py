@@ -313,9 +313,9 @@ def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 5) AS e0,
+           CAST(floor(CAST(embedding[1] AS DOUBLE) * 100000 + 0.5) AS BIGINT) AS e0,
            array_to_string(list_transform(list_slice(embedding, 1, 3),
-                           x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)),
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)),
                            ',') AS head3,
            array_to_string(list_sort(list_distinct(list_transform(list_slice(embedding, 1, 4),
                            x -> CAST(x > 0 AS INT)))), ',') AS sign_set
@@ -328,20 +328,27 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     since DuckDB promotes list elements to double).
 
     Array cells are not driver-hashable (pandas ndarray, r01 crash), so
-    the final projection serializes them: head3 as comma-joined integers
-    at 1e-5 resolution (integer strings render identically everywhere;
-    raw double→string rendering does not — Java "1.0E-5" vs DuckDB
-    "1e-05"), sign_set as a joined int list. The array logic itself —
-    slice/transform/distinct/sort — is unchanged underneath."""
+    the final projection serializes them: e0/head3 as integers at 1e-5
+    resolution (integer strings render identically everywhere; raw
+    double→string rendering does not — Java "1.0E-5" vs DuckDB "1e-05"),
+    sign_set as a joined int list. The grid snap is floor(x*1e5 + 0.5),
+    NOT round(): Spark round() is BigDecimal HALF_UP on the decimal
+    repr, DuckDB round() is multiply-then-std::round on the binary
+    double — they disagree near half-boundaries (first seen at sf10 in
+    the r08 decade-up parity sweep; same class as the r07 sf1 finds).
+    floor(x*s + 0.5) is the same IEEE op sequence on both engines. The
+    array logic itself — slice/transform/distinct/sort — is unchanged
+    underneath."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    snap5 = lambda x: F.floor(x.cast("double") * 100000 + F.lit(0.5)).cast("long")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("e0"),
+        snap5(F.element_at("embedding", 1)).alias("e0"),
         F.array_join(
             F.transform(
                 F.slice("embedding", 1, 3),
-                lambda x: F.round(x.cast("double") * 100000).cast("long").cast("string"),
+                lambda x: snap5(x).cast("string"),
             ),
             ",",
         ).alias("head3"),

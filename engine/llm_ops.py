@@ -345,28 +345,34 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_quality_score",
     oracle="""
     SELECT doc_id, lang,
-           round(least(n_chars / 500.0, 1.0), 6) AS len_score,
-           round(CASE WHEN text = '' THEN 0.0 ELSE
+           floor(least(n_chars / 500.0, 1.0) * 1000000 + 0.5) / 1000000.0 AS len_score,
+           floor((CASE WHEN text = '' THEN 0.0 ELSE
              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) END, 6) AS uniq_ratio,
-           round(CASE WHEN text = '' THEN 0.0 ELSE
+               / len(string_split(text, ' ')) END) * 1000000 + 0.5) / 1000000.0 AS uniq_ratio,
+           floor((CASE WHEN text = '' THEN 0.0 ELSE
              CAST(len(list_filter(string_split(text, ' '),
                        t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
-               / len(string_split(text, ' ')) END, 6) AS stop_ratio,
-           round(0.5 * least(n_chars / 500.0, 1.0)
+               / len(string_split(text, ' ')) END) * 1000000 + 0.5) / 1000000.0 AS stop_ratio,
+           floor((0.5 * least(n_chars / 500.0, 1.0)
                + 0.3 * (CASE WHEN text = '' THEN 0.0 ELSE
                    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                      / len(string_split(text, ' ')) END)
                + 0.2 * (1.0 - CASE WHEN text = '' THEN 1.0 ELSE
                    CAST(len(list_filter(string_split(text, ' '),
                              t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
-                     / len(string_split(text, ' ')) END), 6) AS quality
+                     / len(string_split(text, ' ')) END)) * 1000000 + 0.5) / 1000000.0 AS quality
     FROM documents
     """,
 )
 def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, token-uniqueness and stopword
-    ratios combined into one score — the classic pre-training filter."""
+    ratios combined into one score — the classic pre-training filter.
+
+    Cross-engine float discipline: the four reported ratios go through
+    floor(x*1e6 + 0.5)/1e6, not round(x, 6) — Spark's HALF_UP decimal
+    rounding and DuckDB's std::round diverge when a ratio lands within
+    an ulp of a half-boundary (first hit at sf10, r08 parity sweep);
+    the floor form is the same IEEE op sequence on both engines."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = F.split("text", " ")
     ntok = F.size(toks).cast("double")
@@ -379,13 +385,14 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_for_quality = F.when(empty, 1.0).otherwise(
         F.size(F.filter(toks, lambda t: t.isin("the", "a", "of"))) / ntok
     )
+    snap6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000.0
     return d.select(
         "doc_id",
         "lang",
-        F.round(len_score, 6).alias("len_score"),
-        F.round(uniq, 6).alias("uniq_ratio"),
-        F.round(stop, 6).alias("stop_ratio"),
-        F.round(0.5 * len_score + 0.3 * uniq + 0.2 * (1.0 - stop_for_quality), 6).alias(
+        snap6(len_score).alias("len_score"),
+        snap6(uniq).alias("uniq_ratio"),
+        snap6(stop).alias("stop_ratio"),
+        snap6(0.5 * len_score + 0.3 * uniq + 0.2 * (1.0 - stop_for_quality)).alias(
             "quality"
         ),
     )

@@ -1154,8 +1154,11 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -1165,13 +1168,23 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL entry point (SURVEY §3.2 #2): the flagship expressed as a SQL
     string over the registered temp views — same Catalyst lifecycle from
-    the parser instead of the DSL builder."""
+    the parser instead of the DSL builder.
+
+    Measures use the exact-decimal-grid discipline of the sorted twin
+    (quantity/price/discount are 2dp, the disc-price product exactly
+    4dp): per-row floor(x*100+0.5) snaps then BIGINT sums, so the result
+    is order-independent. The raw round(sum(double)) form this replaced
+    crossed a half-cent between the engines' summation orders at sf10
+    (~4e11 magnitude, r08 decade-up parity sweep)."""
     load_tables(spark, sf_dir)
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP_NTZ '2000-09-02'
@@ -1808,7 +1821,8 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_observed_metrics",
     oracle="""
     SELECT count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS total,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total,
            count(*) FILTER (WHERE o_totalprice > 400000) AS n_big
     FROM orders
     """,
@@ -1822,7 +1836,10 @@ def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     row counts / checksums / violation counts without paying for a
     separate aggregation job. The observed values are returned as a 1-row
     DataFrame so the oracle can hash-match them against a direct
-    aggregation."""
+    aggregation. The money counter accumulates exact cents (BIGINT) per
+    task — accumulator merge order is nondeterministic, so a raw double
+    sum here diverged from the oracle's single-pass sum at sf10 (r08
+    parity sweep); the cents sum is order-independent by construction."""
     from pyspark.sql import Observation
 
     o = load_tables(spark, sf_dir)["orders"]
@@ -1830,13 +1847,13 @@ def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = o.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("total_c"),
         F.count(F.when(F.col("o_totalprice") > 400000, 1)).alias("n_big"),
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
     return spark.createDataFrame(
-        [(m["n_rows"], float(m["total"]), m["n_big"])],
+        [(m["n_rows"], float(m["total_c"]) / 100.0, m["n_big"])],
         "n_rows long, total double, n_big long",
     )
 
@@ -2135,13 +2152,17 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     over rollup hierarchies: partial sketches are tiny (~KB), commutative,
     and re-aggregable at any grain (hour→day→month) for one scan's cost.
     Self-validating hash oracle: each row carries the exact distinct
-    count plus whether the estimate landed within ±3% (HLL lgK=12 gives
-    ~1.6% rse; 3% ≈ 2σ); the oracle recomputes the exact counts and
-    asserts the verdict is literal true, so estimate drift is a hard hash
-    mismatch. The estimate itself stays in-query (no DuckDB HLL twin)."""
+    count plus whether the estimate landed within ±3%; the oracle
+    recomputes the exact counts and asserts the verdict is literal true,
+    so estimate drift is a hard hash mismatch. lgK=16 (rse
+    1.04/sqrt(2^16) ≈ 0.41%, so 3% ≈ 7σ — deterministic-in-practice at
+    any cardinality; the original lgK=12 put 3% at ~1.9σ and a 294k-key
+    segment actually exceeded it at sf10, r08 parity sweep). A 64 KB
+    sketch per group is still negligible against the scan it rides on.
+    The estimate itself stays in-query (no DuckDB HLL twin)."""
     c = load_tables(spark, sf_dir)["customer"]
     per_seg = c.groupBy("c_mktsegment").agg(
-        F.hll_sketch_agg("c_custkey", 12).alias("sk"),
+        F.hll_sketch_agg("c_custkey", 16).alias("sk"),
         F.countDistinct("c_custkey").alias("exact"),
     )
     seg = per_seg.select(
@@ -2223,8 +2244,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total,
-           round(sum(o_totalprice) / count(*), 6) AS avg_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total,
+           (CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0) / CAST(count(*) AS DOUBLE) AS avg_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -2238,12 +2261,19 @@ def agg_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from merged sum/count (never averaged averages). The oracle is the
     full recompute over everything — the merged MV must hash-match it.
     At 100 TB: refresh cost ∝ delta size, the whole point of continuous
-    aggregates."""
+    aggregates. The money partial is an exact-cents BIGINT sum
+    (o_totalprice is 2dp, floor(x*100+0.5) is lossless) so base+delta
+    merge order cannot move the total — the raw double partials this
+    replaced crossed a half-cent vs the oracle's single-pass sum at sf10
+    (~1.2e12 magnitude, r08 parity sweep)."""
     o = load_tables(spark, sf_dir)["orders"]
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_raw")
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "total_c"
+            ),
         )
 
     mv_base = partials(o.where(F.col("o_orderkey") % 11 != 0))
@@ -2251,13 +2281,14 @@ def agg_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         mv_base.unionByName(delta)
         .groupBy("o_orderstatus")
-        .agg(F.sum("n_orders").alias("n_orders"), F.sum("total_raw").alias("total_raw"))
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("total_c").alias("total_c"))
     )
+    total = F.col("total_c").cast("double") / 100.0
     return merged.select(
         "o_orderstatus",
         "n_orders",
-        F.round("total_raw", 2).alias("total"),
-        F.round(F.col("total_raw") / F.col("n_orders"), 6).alias("avg_price"),
+        total.alias("total"),
+        (total / F.col("n_orders").cast("double")).alias("avg_price"),
     )
 
 
