@@ -587,42 +587,52 @@ def bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
 
 
 def sorted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem read from an ingest-sorted layout (range-partitioned +
-    sorted on ``l_shipdate``), creating it on first use — the layout twin
-    of :func:`bucketed_facts`, serving the scan-bound date-filtered shape
-    (``agg_pricing_summary_sorted``, VERDICT r07 item 1).
+    """lineitem read from an ingest-sorted layout (sorted on
+    ``l_shipdate`` WITHIN each input split, small row groups), creating
+    it on first use — the layout twin of :func:`bucketed_facts`, serving
+    the scan-bound date-filtered shape (``agg_pricing_summary_sorted``,
+    VERDICT r07 item 1).
 
     Why layout and not conf: Q1's pushed ``l_shipdate <= cutoff`` filter
     keeps ~83% of rows, and on the arrival-ordered fixture EVERY row
     group's [min,max] straddles the cutoff — the pushed min/max predicate
     prunes nothing, so both scan-conf levers were measured useless (r07).
-    Range-partitioning on the filter column makes row-group stats
-    SELECTIVE: the ~17% of row groups entirely above the cutoff are
-    skipped at footer time, and the sorted shipdate column delta-encodes
-    to ~nothing. This is the standard ingest-sort/Z-order pattern every
-    lake deployment applies to its dominant filter column; at 100 TB the
-    sort costs one shuffle at write time and pays on every scan after.
 
-    Partition count is INPUT-SIZED via :func:`shuffle_partitions_for`
-    (same rule as the bucketed layout): one file per range, each file one
-    ~128 MB-row-grouped parquet whose stats are tight because the rows
-    inside are sorted. ``repartitionByRange`` samples to pick bounds —
-    file BOUNDARIES are therefore not bit-stable across builds, but the
-    row SET is identical and every query result over it deterministic.
-    """
-    n_parts = shuffle_partitions_for(sf_dir)
+    Why ``sortWithinPartitions`` and NOT ``repartitionByRange``:
+    row-group skipping needs only WITHIN-FILE order — a file whose rows
+    are shipdate-sorted has tight per-row-group [min,max], so the ~17%
+    of row groups entirely above the cutoff are footer-skipped whether
+    or not files cover disjoint global ranges. Dropping the range
+    exchange makes the layout build a MAP-ONLY rewrite: zero shuffle at
+    ANY scale (the first r08 build attempt range-shuffled 600M rows at
+    sf100 and its ~30 GB of shuffle files filled the disk before the
+    11 GB output — the map-only form peaks at input+output). At 100 TB
+    this is the difference between an ingest-time rewrite that costs
+    one pass and a cluster-wide sort; global range layout remains worth
+    its shuffle only when file-level pruning or range-colocated joins
+    are ALSO wanted, which Q1's row-group skipping does not need.
+
+    ``parquet.block.size`` is INPUT-SIZED (table_bytes/64, clamped to
+    [256 KB, 16 MB]): with the default 128 MB block a whole file is one
+    row group and its [min,max] straddles the cutoff again — the skip
+    granularity IS the row group, so the layout must create ≥tens of
+    them regardless of fixture size (a fixed 16 MB block left the whole
+    sf0.01 table in ONE group). Cost: a few extra footer entries per
+    file, noise against the 17% I/O win (measured A/B in BENCH.md
+    r08)."""
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    # fixed path, content deterministic per (sf, partition count — both in
-    # the name): a stale dir from an earlier process is reused as-is when
-    # complete (_SUCCESS), rebuilt otherwise — bounded disk, like the
-    # bucketed layout
-    path = os.path.join("/tmp/engine_srt", f"lineitem_srt_{sf_tag}_p{n_parts}")
+    block = max(256 * 1024, min(16 * 1024 * 1024, (_dir_bytes(sf_dir) or 0) // 64))
+    # fixed path, content deterministic per (sf, layout shape v2): a
+    # stale dir from an earlier process is reused as-is when complete
+    # (_SUCCESS), rebuilt otherwise — bounded disk, like the bucketed
+    # layout
+    path = os.path.join("/tmp/engine_srt", f"lineitem_srt2_{sf_tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             load_tables(spark, sf_dir)["lineitem"]
-            .repartitionByRange(n_parts, F.col("l_shipdate"))
             .sortWithinPartitions("l_shipdate")
             .write.mode("overwrite")
+            .option("parquet.block.size", block)
             .parquet(path)
         )
     return spark.read.parquet(path)

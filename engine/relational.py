@@ -574,7 +574,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(qty_c)    AS DOUBLE) / 100.0     AS sum_qty,
            CAST(sum(price_c)  AS DOUBLE) / 100.0     AS sum_base_price,
            CAST(sum(dp4)      AS DOUBLE) / 10000.0   AS sum_disc_price,
-           CAST(sum(CAST(ch6 AS DECIMAL(20,0))) AS DOUBLE) / 1000000.0
+           CAST(sum(ch6 // 1000000) AS DOUBLE)
+             + CAST(sum(ch6 % 1000000) AS DOUBLE) / 1000000.0
                                                      AS sum_charge,
            (CAST(sum(qty_c)   AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
                                                      AS avg_qty,
@@ -602,7 +603,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_pricing_summary_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP layout twin (VERDICT r07 item 1): Q1 over the
     ingest-sorted lineitem layout (``engine.io.sorted_lineitem`` —
-    range-partitioned + sorted on ``l_shipdate``).
+    ``l_shipdate``-sorted within each split, small row groups; a
+    map-only zero-shuffle rewrite, see its docstring).
 
     Same logical query as ``agg_pricing_summary``; two deliberate
     differences:
@@ -622,12 +624,21 @@ def agg_pricing_summary_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
        snapped per-row to its EXACT decimal grid — quantity/price/
        discount/tax are 2dp so ``floor(x*100+0.5)`` is lossless; the
        disc-price product is exactly 4dp (2dp×2dp) and charge exactly
-       6dp — then summed as integers (charge as DECIMAL(20,0): its
-       1e-6$-unit sum crosses int64 range at ~sf100). Sums are
-       order-independent and equal the true decimal sums at ANY scale;
-       the only floating-point ops are the final constant divisions,
+       6dp — then summed as integers. Sums are order-independent and
+       equal the true decimal sums at ANY scale; the only
+       floating-point ops are the final constant divisions,
        bit-identical in both engines. No round() anywhere — the
        Spark/DuckDB round() half-boundary disagreement never enters.
+
+       The charge sum is TWO int64 sums (hi = ch6 div 1e6, lo = ch6 mod
+       1e6, both non-negative here), recombined as hi + lo/1e6 in
+       double at the end: a single 1e-6$-unit sum crosses int64 range
+       at ~sf100, and the first cut's DECIMAL(20,0) accumulator cost
+       +60% on the WHOLE query at sf10 (0.73 → 1.12 s measured, r08
+       A/B) — Spark's decimal agg runs outside the primitive codegen
+       path. The hi/lo split keeps every accumulator a primitive long
+       (hi ≤ 6.6e13 and lo ≤ 6e14 at sf100, both exact in int64 AND
+       under 2^53 for the final double casts) at ~6% over raw doubles.
     """
     from engine.io import sorted_lineitem
 
@@ -643,9 +654,15 @@ def agg_pricing_summary_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(c("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
             (F.sum(c("l_extendedprice")).cast("double") / 100.0).alias("sum_base_price"),
             (F.sum(dp4).cast("double") / 10000.0).alias("sum_disc_price"),
-            (F.sum(ch6.cast("decimal(20,0)")).cast("double") / 1000000.0).alias(
-                "sum_charge"
-            ),
+            # hi/lo int64 split (see docstring): floor(ch6/1e6) is exact
+            # here — the double quotient of a ≤1.1e11 int by 1e6 carries
+            # ulp error ~1e-11, far below the 1e-6 distance to the next
+            # integer boundary, so floor() lands identically in both
+            # engines (the oracle's BIGINT // is the same integer).
+            (
+                F.sum(F.floor(ch6 / F.lit(1000000)).cast("long")).cast("double")
+                + F.sum(ch6 % F.lit(1000000)).cast("double") / 1000000.0
+            ).alias("sum_charge"),
             (
                 (F.sum(c("l_quantity")).cast("double") / 100.0) / n.cast("double")
             ).alias("avg_qty"),

@@ -546,7 +546,7 @@ def test_sorted_layout_row_groups_are_skippable(spark, sf_dir):
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    paths = g.glob(f"/tmp/engine_srt/lineitem_srt_{tag}_p*/part-*.parquet")
+    paths = g.glob(f"/tmp/engine_srt/lineitem_srt2_{tag}/part-*.parquet")
     assert paths, "sorted layout missing"
     cutoff = datetime.datetime(2000, 9, 2)
     total = skippable = 0
