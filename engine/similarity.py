@@ -69,6 +69,16 @@ def _lsh_bits(n: int) -> int:
     return max(1, min(_LSH_MAX_BITS, (m - 1).bit_length()))
 
 
+def _lsh_salts(n: int) -> int:
+    """Probe-side salt count for the within-bucket verify join: 1 (no
+    salting — identical to the pre-r08 plan) below 500k vectors, 8
+    above. Clustered corpora concentrate hyperplane buckets, and a
+    single over-full bucket's b²/2 verify is one straggler task without
+    it (measured at sf100 — see llm_ann_lsh docstring). Salting is
+    result-identical by construction, so this is a pure physical knob."""
+    return 1 if n < 500_000 else 8
+
+
 def _dbl(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -221,16 +231,32 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     collides) — recall is bought by BANDING (OR of many narrow bands —
     llm_near_dedup_embedding, 0.715 measured) or cell-probing
     (llm_ann_ivf); this key pins the single-band COST floor and its
-    recall is measured per-scale in BENCH.md. At cluster scale, salt
-    over-full buckets. Fully hash-match verified — the deterministic
-    plane prefix and the bit-length arithmetic (no float log2) are
-    embedded identically in both engines' plans; the corpus count that
-    sizes the bits is the one driver-side scalar (like the streaming
-    watermark sentinels)."""
+    recall is measured per-scale in BENCH.md. Fully hash-match verified
+    — the deterministic plane prefix and the bit-length arithmetic (no
+    float log2) are embedded identically in both engines' plans; the
+    corpus count that sizes the bits is the one driver-side scalar (like
+    the streaming watermark sentinels).
+
+    Skew treatment (r08, measured at sf100): average occupancy is 64,
+    but hyperplane buckets on CLUSTERED embeddings concentrate — at
+    sf100 one bucket holds a whole replicated cluster and its b²/2
+    verify monopolized a single straggler task for minutes while the
+    other cores idled. Above 500k vectors the probe side is therefore
+    SALTED: each left row gets g = xxhash64(vec_id) mod G, the right
+    side is replicated to all G salts, and the join adds g = g' — every
+    unordered pair still matches EXACTLY once (at the left row's salt),
+    so the result set is bit-identical and the oracle is untouched,
+    while the mega-bucket's work fans out over G tasks. This is the
+    classic replicate-and-salt skew join (same pattern as
+    ``agg_salted_skew``) applied inside the bucket; cost is a G×
+    replication of the build side, paid only at scales where the
+    straggler would dominate."""
     e = load_tables(spark, sf_dir)["embeddings"].where(
         _dot(_dbl("embedding"), _dbl("embedding")) > 0  # zero-norm excluded
     )
-    bits = _lsh_bits(e.count())
+    n = e.count()
+    bits = _lsh_bits(n)
+    salts = _lsh_salts(n)
     b = e.select(
         "vec_id",
         "embedding",
@@ -238,10 +264,17 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-vector norm, computed once pre-join (bit-identical to the oracle)
         F.sqrt(_dot(_dbl("embedding"), _dbl("embedding"))).alias("nrm"),
     )
-    a, x = b.alias("a"), b.alias("x")
+    a = b.withColumn("g", F.pmod(F.xxhash64("vec_id"), F.lit(salts))).alias("a")
+    x = (
+        b.withColumn("g", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        .withColumn("g", F.col("g").cast("long"))
+        .alias("x")
+    )
     pairs = a.join(
         x,
-        (F.col("a.bucket") == F.col("x.bucket")) & (F.col("a.vec_id") < F.col("x.vec_id")),
+        (F.col("a.bucket") == F.col("x.bucket"))
+        & (F.col("a.g") == F.col("x.g"))
+        & (F.col("a.vec_id") < F.col("x.vec_id")),
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("x.vec_id").alias("id_b"),
