@@ -82,9 +82,13 @@ def _mix_col(x, b1: int, b2: int):
     return (ha * hb) % F.lit(2001)
 
 
-def clustered_embeddings(e: DataFrame) -> DataFrame:
+def clustered_embeddings(e: DataFrame, noise: float = 0.1) -> DataFrame:
     """Derive the deterministic clustered corpus (vec_id, embedding)
-    from the fixture embeddings table — see module docstring."""
+    from the fixture embeddings table — see module docstring. ``noise``
+    is the per-dim noise/signal factor (0.1 = the registered key's tight
+    regime; scripts/ann_clustered_noise.py measures the recall cliff at
+    0.2, VERDICT r05/r06/r07 item — higher values blur cluster
+    boundaries toward the isotropic worst case)."""
     ids = (
         e.select(
             "vec_id",
@@ -106,8 +110,8 @@ def clustered_embeddings(e: DataFrame) -> DataFrame:
         cx = F.col("c") * 64 + j.cast("long")
         nx = F.col("vec_id") * 64 + j.cast("long")
         cent = (_mix_col(cx, 11, 7) - 1000) / F.lit(1000.0)
-        noise = (_mix_col(nx, 12345, 54321) - 1000) / F.lit(1000.0)
-        return cent + F.lit(0.1) * noise
+        nz = (_mix_col(nx, 12345, 54321) - 1000) / F.lit(1000.0)
+        return cent + F.lit(noise) * nz
 
     return ids.select("vec_id", F.transform(dims, val).alias("embedding"))
 
