@@ -748,5 +748,5 @@ def test_conf_overrides_survive_configure(spark):
         io.load_tables(spark, "/root/testdata/sf0.001")
         assert spark.conf.get(key) == "false"
     finally:
-        io._conf_overrides.pop(id(spark), None)
+        io._conf_overrides.pop(spark, None)
         spark.conf.set(key, orig)
