@@ -42,8 +42,9 @@ _PROMOTED_R08 = [
     # oracle changed, re-verified at sf0.01/sf0.1/sf1):
     "agg_volume_shipping",
     # r08 scale-safe reshape (VERDICT r07 item 3: bucket bits now grow
-    # with corpus size — engine AND oracle changed, re-verified at
-    # sf0.01/sf0.1/sf1 + the synthetic edge corpus):
+    # with corpus size, plus probe-side skew salting above 500k vectors
+    # — engine changed twice, oracle once; re-verified at
+    # sf0.01/sf0.1/sf1/sf10 + the synthetic edge corpus):
     "llm_ann_lsh",
     # r08 real-format codec (VERDICT r07 item 6: BMP replaces the
     # synthetic IMG1 container; decode oracle's payload_len changed to
