@@ -702,3 +702,98 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _cdc_poly(engine: str) -> str:
+    """The 8-char polynomial rolling-hash expression at window start i,
+    unrolled term-by-term (identical int64 arithmetic in both engines;
+    max value ≈ 2.8e13, far under int64). Spark needs INT casts on
+    substring positions; DuckDB substr takes BIGINT directly."""
+    terms = []
+    for j in range(8):
+        pos = f"CAST(i + {j} AS INT)" if engine == "spark" else f"i + {j}"
+        fn = "substring" if engine == "spark" else "substr"
+        # CAST the coefficient: small powers of 31 parse as INT32 and
+        # ascii() is INT32, so the product would overflow under ANSI mode
+        terms.append(f"ascii({fn}(t, {pos}, 1)) * CAST({31 ** (7 - j)} AS BIGINT)")
+    return " + ".join(terms)
+
+
+@query(
+    "llm_cdc_chunk_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, substr(text, 1, 240) AS t,
+             CAST(length(substr(text, 1, 240)) AS BIGINT) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    cutl AS (
+      SELECT source, t, L,
+             list_filter(range(2, greatest(L - 6, 2)),
+                         i -> i <= L - 7 AND ({_cdc_poly("duck")}) % 1048576 % 16 = 0)
+               AS cuts
+      FROM base
+    ),
+    bl AS (
+      SELECT source, t, ([CAST(1 AS BIGINT)] || cuts || [L + 1]) AS bounds FROM cutl
+    ),
+    ch AS (
+      SELECT source,
+             unnest(list_transform(range(1, CAST(len(bounds) AS BIGINT)),
+                                   k -> substr(t, bounds[k], bounds[k + 1] - bounds[k])))
+               AS chunk
+      FROM bl
+    ),
+    agg AS (SELECT source, md5(chunk) AS h, count(*) AS cnt FROM ch GROUP BY 1, 2)
+    SELECT source, CAST(sum(cnt) AS BIGINT) AS total_chunks,
+           count(*) AS distinct_chunks,
+           CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS repeated_chunks
+    FROM agg GROUP BY source
+    """,
+)
+def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup — the rsync/LBFS/
+    dataset-dedup pattern: chunk boundaries are picked where a rolling
+    8-char polynomial hash hits 0 mod 16 (expected chunk ≈ 16 chars on
+    this fixture's ~300-char docs), so an insertion early in a document
+    shifts ONE chunk instead of re-aligning every fixed-width block —
+    which is why chunk-level dedup catches near-duplicates that
+    fixed-block hashing misses. Pipeline: per-doc boundary positions via
+    a filter() HOF over window starts (all JVM-side, no UDF), chunks cut
+    with transform() over the bounds array, ONE explode, then the
+    classic narrow-shuffle dedup: group by (source, md5(chunk)) — 16-byte
+    keys cross the exchange, never chunk text. The window hash is
+    evaluated per start position on the first 240 chars (bounded work
+    per row); at 100 TB the same plan is scan + explode + one
+    hash-keyed exchange, with per-source skew bounded by the uniform
+    source mix. Short docs (< 9 chars) yield exactly one chunk — the
+    `i <= L-7` predicate keeps the ascending-sequence guard engine-safe
+    (Spark's sequence(2, stop) would run DESCENDING for stop < 2)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = (
+        d.select("source", F.substring("text", 1, 240).alias("t"))
+        .withColumn("L", F.length("t").cast("bigint"))
+        .where(F.col("L") > 0)
+    )
+    cuts = F.expr(
+        "filter(sequence(CAST(2 AS BIGINT), greatest(L - 7, CAST(2 AS BIGINT))), "
+        f"i -> i <= L - 7 AND ({_cdc_poly('spark')}) % 1048576 % 16 = 0)"
+    )
+    bounds = F.expr("concat(array(CAST(1 AS BIGINT)), cuts, array(L + 1))")
+    chunks = F.expr(
+        "transform(sequence(1, size(bounds) - 1), "
+        "k -> substring(t, CAST(element_at(bounds, k) AS INT), "
+        "CAST(element_at(bounds, k + 1) - element_at(bounds, k) AS INT)))"
+    )
+    ch = (
+        base.withColumn("cuts", cuts)
+        .withColumn("bounds", bounds)
+        .withColumn("chunk", F.explode(chunks))
+        .select("source", "chunk")
+    )
+    agg = ch.groupBy("source", F.md5("chunk").alias("h")).agg(F.count("*").alias("cnt"))
+    return agg.groupBy("source").agg(
+        F.sum("cnt").alias("total_chunks"),
+        F.count("*").alias("distinct_chunks"),
+        F.count_if(F.col("cnt") > 1).alias("repeated_chunks"),
+    )

@@ -2001,3 +2001,36 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term"), 6).alias("psi"),
         (F.round(F.sum("term"), 6) > 0.2).alias("drifted"),
     )
+
+
+@query(
+    "sample_weighted_bernoulli",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 1048576) * (SELECT max(n_chars) FROM documents)
+          < n_chars * 1048576
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli (Poisson) sampling: each document is kept with
+    probability proportional to its weight (n_chars / max_chars) — the
+    size-proportional sampling a training-mix pipeline uses to bias
+    toward long documents without a global sort or reservoir. Membership
+    is a pure function of the key (Knuth multiplicative hash → 20-bit
+    uniform, compared against the weight as an EXACT integer cross-
+    product — no float ratio, so both engines agree bit-for-bit), which
+    makes the sample reproducible across reruns, partitionings, and
+    engines, unlike rand(). Plan shape: one scan + one broadcast scalar
+    (the max weight) + a filter — zero shuffles of the data itself, so
+    it runs at 100 TB as a map-only pass (the weight normalizer is the
+    only aggregate, and it reduces to one row). The empty doc (weight 0)
+    can never be selected — the u < w inequality is strict."""
+    d = load_tables(spark, sf_dir)["documents"]
+    mx = d.agg(F.max("n_chars").alias("mx"))
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1048576))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .where(u * F.col("mx") < F.col("n_chars") * F.lit(1048576))
+        .select("doc_id", "source", "n_chars")
+    )

@@ -80,6 +80,7 @@ def load_all() -> None:
         ann_clustered,
         cdc,
         functions,
+        graph_ext,
         io,
         llm_ext,
         llm_ops,
