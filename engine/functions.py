@@ -795,3 +795,40 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE o_orderpriority END AS BIGINT)"
         ).alias("try_to_long"),
     )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey, md5('ns:order:' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-5' || substr(h, 14, 3)
+           || '-' || substr('89ab', (ascii(substr(h, 17, 1)) % 4) + 1, 1)
+           || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
+    FROM m
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic namespaced UUIDs (the RFC-4122 v5 SHAPE over md5):
+    entity key + namespace → stable 36-char id with the version nibble
+    pinned to 5 and the variant nibble folded into {8,9,a,b} — the
+    CDC/entity-resolution pattern for minting stable surrogate keys that
+    agree across engines, reruns, and backfills (unlike uuid(), which is
+    nondeterministic and unjoinable). Pure per-row string ops — map-only
+    at any scale. Output limited to every-100th order to keep the
+    checked result compact."""
+    o = load_tables(spark, sf_dir)["orders"].where(F.expr("o_orderkey % 100 = 0"))
+    h = F.md5(F.concat(F.lit("ns:order:"), F.col("o_orderkey").cast("string")))
+    m = o.select("o_orderkey", h.alias("h"))
+    uuid = F.concat(
+        F.substring("h", 1, 8), F.lit("-"),
+        F.substring("h", 9, 4), F.lit("-5"),
+        F.substring("h", 14, 3), F.lit("-"),
+        F.substring(F.lit("89ab"), F.pmod(F.ascii(F.substring("h", 17, 1)), F.lit(4)) + 1, 1),
+        F.substring("h", 18, 3), F.lit("-"),
+        F.substring("h", 21, 12),
+    )
+    return m.select("o_orderkey", uuid.alias("uuid"))

@@ -776,3 +776,228 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.b, h.sc FROM grid g
+      LEFT JOIN hourly h ON h.event_type = g.event_type AND h.b = g.b
+    ),
+    w0 AS (
+      SELECT event_type, b, sc,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS idx
+      FROM j
+    ),
+    w AS (
+      SELECT event_type, b, sc, idx,
+             last_value(sc IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN sc IS NOT NULL THEN idx END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+             first_value(sc IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN sc IS NOT NULL THEN idx END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+      FROM w0
+    )
+    SELECT event_type, b, sc IS NULL AS is_gap,
+           CASE WHEN sc IS NOT NULL THEN CAST(sc AS DOUBLE)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN CAST(pv AS DOUBLE)
+                     + CAST((nv - pv) * (idx - pi) AS DOUBLE) / CAST(ni - pi AS DOUBLE)
+                ELSE NULL END / 100 AS value
+    FROM w
+    """,
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill with LINEAR interpolation — the
+    hypertable `time_bucket_gapfill(...interpolate)` workload: hourly
+    rollup per event type, a dense per-type hour grid (sequence/
+    generate_series — no calendar table), and missing buckets filled
+    from the nearest non-null neighbors on both sides (edge gaps stay
+    NULL, like the reference semantics of gapfill before the first
+    sample). Determinism: bucket sums are exact integer cents; the
+    interpolated value is prev + (Δ·k)/gap with the numerator computed
+    as exact int64 and ONE double division + ONE double addition in the
+    same order in both engines — bit-identical IEEE, no rounding snap
+    needed. Plan shape: one events shuffle for the rollup; the grid
+    explodes from per-type (min, max) bounds (25 rows), and both
+    neighbor lookups ride ONE window partitioning (event_type) — at
+    100 TB this is a per-series window over the ROLLUP (10^4× smaller
+    than raw), never over raw events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sc"))
+    bounds = hourly.groupBy("event_type").agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+    grid = bounds.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("b")
+    )
+    j = grid.join(hourly, ["event_type", "b"], "left")
+    win = Window.partitionBy("event_type").orderBy("b")
+    prev_f = win.rowsBetween(Window.unboundedPreceding, -1)
+    next_f = win.rowsBetween(1, Window.unboundedFollowing)
+    idx = F.row_number().over(win)
+    marked = j.withColumn("idx", idx.cast("bigint"))
+    w = (
+        marked.withColumn("pv", F.last("sc", ignorenulls=True).over(prev_f))
+        .withColumn(
+            "pi",
+            F.last(
+                F.when(F.col("sc").isNotNull(), F.col("idx")), ignorenulls=True
+            ).over(prev_f),
+        )
+        .withColumn("nv", F.first("sc", ignorenulls=True).over(next_f))
+        .withColumn(
+            "ni",
+            F.first(
+                F.when(F.col("sc").isNotNull(), F.col("idx")), ignorenulls=True
+            ).over(next_f),
+        )
+    )
+    value = (
+        F.when(F.col("sc").isNotNull(), F.col("sc").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv").cast("double")
+            + ((F.col("nv") - F.col("pv")) * (F.col("idx") - F.col("pi"))).cast("double")
+            / (F.col("ni") - F.col("pi")).cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return w.select(
+        "event_type", "b", F.col("sc").isNull().alias("is_gap"), (value / 100).alias("value")
+    )
+
+
+_KMV_K = 256
+_KMV_M = 4294967296  # 2^32; the hash is an odd-multiplier bijection mod 2^32
+
+
+def _kmv_hash(col: str) -> str:
+    """32-bit multiplicative-permutation hash, identical SQL text in both
+    engines: odd multiplier => bijection mod 2^32, so distinct keys get
+    distinct 'uniform' values and ranks are tie-free."""
+    return f"(({col} * 2654435761 + 1013904223) % {_KMV_M})"
+
+
+@query(
+    "agg_kmv_theta_sketch",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT l_partkey AS x FROM lineitem WHERE l_returnflag = 'R'),
+    b AS (SELECT DISTINCT l_partkey AS x FROM lineitem WHERE l_returnflag = 'A'),
+    ah AS (SELECT x, {_kmv_hash("x")} AS h,
+                  row_number() OVER (ORDER BY {_kmv_hash("x")}) AS rk FROM a),
+    bh AS (SELECT x, {_kmv_hash("x")} AS h,
+                  row_number() OVER (ORDER BY {_kmv_hash("x")}) AS rk FROM b),
+    ska AS (SELECT x, h FROM ah WHERE rk <= {_KMV_K}),
+    skb AS (SELECT x, h FROM bh WHERE rk <= {_KMV_K}),
+    un AS (SELECT x, h, row_number() OVER (ORDER BY h) AS rk
+           FROM (SELECT x, h FROM ska UNION SELECT x, h FROM skb)),
+    sku AS (SELECT x, h FROM un WHERE rk <= {_KMV_K}),
+    stats AS (
+      SELECT (SELECT count(*) FROM a) AS na_exact,
+             (SELECT count(*) FROM b) AS nb_exact,
+             (SELECT count(*) FROM ska) AS ca,
+             (SELECT max(h) FROM ska) AS ta,
+             (SELECT count(*) FROM skb) AS cb,
+             (SELECT max(h) FROM skb) AS tb,
+             (SELECT count(*) FROM sku) AS cu,
+             (SELECT max(h) FROM sku) AS tu,
+             (SELECT count(*) FROM ska JOIN skb USING (x)
+               WHERE ska.h <= (SELECT max(h) FROM sku)) AS ci
+    )
+    SELECT CAST(na_exact AS BIGINT) AS n_a_exact,
+           CAST(CASE WHEN ca < {_KMV_K} THEN ca
+                     ELSE ({_KMV_K} - 1) * {_KMV_M} // ta END AS BIGINT) AS n_a_est,
+           CAST(nb_exact AS BIGINT) AS n_b_exact,
+           CAST(CASE WHEN cb < {_KMV_K} THEN cb
+                     ELSE ({_KMV_K} - 1) * {_KMV_M} // tb END AS BIGINT) AS n_b_est,
+           CAST(CASE WHEN cu < {_KMV_K} THEN ci
+                     ELSE ci * {_KMV_M} // tu END AS BIGINT) AS n_inter_est
+    FROM stats
+    """,
+)
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (theta-sketch-family) distinct sketches with SET
+    INTERSECTION estimation — the sketch algebra HLL cannot do (HLL
+    unions; KMV/theta intersects): per set keep the K=256 smallest
+    values of a 32-bit permutation hash; |A| ≈ (K-1)·2³²/θ_A, and the
+    A∩B estimate counts shared sketch samples below the UNION sketch's
+    θ. All arithmetic is integer (floor division), the hash is a
+    bijection (tie-free ranks), so estimates are hash-exact across
+    engines; exact distinct counts ride along so a green row also
+    WITNESSES the estimate's accuracy. At 100 TB each sketch is a
+    256-row top-k per set (map-side partial top-k, one tiny shuffle),
+    and sketches of partitions/days merge by re-ranking — the
+    mergeability that makes the sketch a cube/rollup citizen."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    hx = F.expr(_kmv_hash("x"))
+
+    def sketch(flag: str) -> DataFrame:
+        # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+        # top-K + driver merge — the distributed top-k, not a global sort
+        s = (
+            li.where(F.col("l_returnflag") == flag)
+            .select(F.col("l_partkey").alias("x"))
+            .distinct()
+        )
+        return s.withColumn("h", hx).orderBy("h").limit(_KMV_K)
+
+    ska = sketch("R").select(F.col("x"), F.col("h").alias("ha"))
+    skb = sketch("A").select(F.col("x"), F.col("h").alias("hb"))
+    sku = (
+        ska.select("x", F.col("ha").alias("h"))
+        .unionByName(skb.select("x", F.col("hb").alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+    )
+    na = (
+        li.where(F.col("l_returnflag") == "R")
+        .agg(F.count_distinct("l_partkey").alias("na_exact"))
+    )
+    nb = (
+        li.where(F.col("l_returnflag") == "A")
+        .agg(F.count_distinct("l_partkey").alias("nb_exact"))
+    )
+    a_stats = ska.agg(F.count("*").alias("ca"), F.max("ha").alias("ta"))
+    b_stats = skb.agg(F.count("*").alias("cb"), F.max("hb").alias("tb"))
+    u_stats = sku.agg(F.count("*").alias("cu"), F.max("h").alias("tu"))
+    inter = (
+        ska.join(skb, "x")
+        .crossJoin(F.broadcast(u_stats.select(F.col("tu").alias("tu_"))))
+        .where(F.col("ha") <= F.col("tu_"))
+        .agg(F.count("*").alias("ci"))
+    )
+    row = na.crossJoin(nb).crossJoin(a_stats).crossJoin(b_stats).crossJoin(u_stats).crossJoin(inter)
+    k, m = _KMV_K, _KMV_M
+    return row.select(
+        F.col("na_exact").cast("long").alias("n_a_exact"),
+        F.expr(f"CASE WHEN ca < {k} THEN ca ELSE ({k} - 1) * {m} div ta END")
+        .cast("long")
+        .alias("n_a_est"),
+        F.col("nb_exact").cast("long").alias("n_b_exact"),
+        F.expr(f"CASE WHEN cb < {k} THEN cb ELSE ({k} - 1) * {m} div tb END")
+        .cast("long")
+        .alias("n_b_est"),
+        F.expr(f"CASE WHEN cu < {k} THEN ci ELSE ci * {m} div tu END")
+        .cast("long")
+        .alias("n_inter_est"),
+    )

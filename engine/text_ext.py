@@ -414,3 +414,58 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(top_src.withColumnRenamed("source", "top_source")))
     )
+
+
+@query(
+    "llm_ngram_entropy",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, substr(text, 1, 200) AS t,
+             CAST(length(substr(text, 1, 200)) AS BIGINT) AS L
+      FROM documents WHERE length(text) >= 2
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, L), i -> substr(t, i, 2))) AS g
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    tot AS (SELECT doc_id, g, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt)
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bigrams,
+           count(*) AS distinct_bigrams,
+           round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6) AS entropy
+    FROM tot GROUP BY doc_id
+    """,
+)
+def llm_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-bigram Shannon entropy — the classic
+    gibberish/boilerplate detector (low entropy = repeated patterns,
+    high = diverse text), computed on the first 200 chars. All bigram
+    construction is array-side (sequence → transform → ONE explode, the
+    llm_ngram_topk pattern — no self-join); counts shuffle once on
+    (doc_id, gram), and the entropy reduces per doc. Float discipline
+    follows llm_source_mix_report's precedent: -Σ(p·ln p) over ≤200
+    terms rounded at 6dp, ~7 orders above libm/summation drift. At
+    100 TB the per-doc group is bounded by the 200-char cap, so no key
+    skew is possible regardless of document length distribution."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = (
+        d.select("doc_id", F.substring("text", 1, 200).alias("t"))
+        .withColumn("L", F.length("t").cast("bigint"))
+        .where(F.col("L") >= 2)
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(CAST(1 AS BIGINT), L - 1), i -> substring(t, CAST(i AS INT), 2))")
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    tot = cnt.withColumn("n", n)
+    p = F.col("c").cast("double") / F.col("n")
+    return tot.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_bigrams"),
+        F.count("*").alias("distinct_bigrams"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+    )
