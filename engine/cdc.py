@@ -688,3 +688,97 @@ def cdc_partition_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched_snap.unionByName(rewritten).select(
         "o_orderkey", "o_totalprice", F.col("bucket").cast("long").alias("bucket")
     )
+
+
+_SQL_CURR_MULTI = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % 17 = 0 THEN o_orderpriority || '*' ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 11 <> 0
+"""
+
+
+@query(
+    "cdc_column_diff_audit",
+    oracle=f"""
+    WITH prev AS ({_SQL_PREV}), curr AS ({_SQL_CURR_MULTI}),
+    j AS (
+      SELECT p.o_custkey AS p1, c.o_custkey AS c1,
+             p.o_orderstatus AS p2, c.o_orderstatus AS c2,
+             p.o_totalprice AS p3, c.o_totalprice AS c3,
+             p.o_orderdate AS p4, c.o_orderdate AS c4,
+             p.o_orderpriority AS p5, c.o_orderpriority AS c5
+      FROM prev p JOIN curr c USING (o_orderkey)
+    ),
+    agg AS (
+      SELECT count(*) AS n_common,
+             CAST(sum(CASE WHEN p1 IS DISTINCT FROM c1 THEN 1 ELSE 0 END) AS BIGINT) AS ch1,
+             CAST(sum(CASE WHEN p2 IS DISTINCT FROM c2 THEN 1 ELSE 0 END) AS BIGINT) AS ch2,
+             CAST(sum(CASE WHEN p3 IS DISTINCT FROM c3 THEN 1 ELSE 0 END) AS BIGINT) AS ch3,
+             CAST(sum(CASE WHEN p4 IS DISTINCT FROM c4 THEN 1 ELSE 0 END) AS BIGINT) AS ch4,
+             CAST(sum(CASE WHEN p5 IS DISTINCT FROM c5 THEN 1 ELSE 0 END) AS BIGINT) AS ch5
+      FROM j
+    )
+    SELECT col AS column_name, n_changed, n_common FROM agg
+    UNPIVOT (n_changed FOR col IN (ch1 AS 'o_custkey', ch2 AS 'o_orderstatus',
+                                   ch3 AS 'o_totalprice', ch4 AS 'o_orderdate',
+                                   ch5 AS 'o_orderpriority'))
+    """,
+)
+def cdc_column_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-level change audit between snapshots: for rows present in
+    both, how many changed in EACH column — the churn report that drives
+    SCD column policies (type-1 vs type-2 per column), change-feed
+    pruning (ship only hot columns), and fingerprint design (exclude
+    volatile columns from the nonkey hash). This key's curr mutates
+    THREE columns at different rates (totalprice %7, status %13,
+    priority %17) so the audit provably separates per-column rates.
+    Shape: ONE key-equi join, all comparisons counted inside conditional
+    aggregates (null-safe IS DISTINCT FROM — the dq_* doctrine: the
+    audit never materializes changed rows), then a constant-width
+    unpivot of the single partial-aggregated row. At 100 TB: one
+    fact-fact SMJ shuffle, 5 int64 counters per task, a 5-row result."""
+    o = load_tables(spark, sf_dir)["orders"]
+    prev = o.where(F.col("o_orderkey") % 10 != 0)
+    curr = (
+        o.where(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 17 == 0, F.concat(F.col("o_orderpriority"), F.lit("*"))
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    p = prev.select("o_orderkey", *[F.col(c).alias(f"p_{c}") for c in cols])
+    c = curr.select("o_orderkey", *[F.col(c).alias(f"c_{c}") for c in cols])
+    j = p.join(c, "o_orderkey")
+    agg = j.agg(
+        F.count("*").alias("n_common"),
+        *[
+            F.sum(
+                F.when(~F.col(f"p_{col}").eqNullSafe(F.col(f"c_{col}")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"ch_{col}")
+            for col in cols
+        ],
+    )
+    stack = ", ".join(f"'{col}', ch_{col}" for col in cols)
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (column_name, n_changed)"), "n_common"
+    )

@@ -774,10 +774,26 @@ def llm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.substring("text", 1, 240).alias("t"))
         .withColumn("L", F.length("t").cast("bigint"))
         .where(F.col("L") > 0)
+        # r08 perf A/B (sf10, engine-only warm min): evaluating the
+        # 8-term polynomial with substring() re-sliced the text 8× per
+        # window position (~930M UTF8String slices at sf10). Extracting
+        # the char codes ONCE into an int array and indexing it with
+        # element_at is the same arithmetic on the same values
+        # (oracle unchanged) at a fraction of the per-position cost.
+        .withColumn(
+            "codes",
+            F.expr(
+                "transform(sequence(1, CAST(L AS INT)), i -> ascii(substring(t, i, 1)))"
+            ),
+        )
+    )
+    poly = " + ".join(
+        f"element_at(codes, CAST(i + {j} AS INT)) * CAST({31 ** (7 - j)} AS BIGINT)"
+        for j in range(8)
     )
     cuts = F.expr(
         "filter(sequence(CAST(2 AS BIGINT), greatest(L - 7, CAST(2 AS BIGINT))), "
-        f"i -> i <= L - 7 AND ({_cdc_poly('spark')}) % 1048576 % 16 = 0)"
+        f"i -> i <= L - 7 AND ({poly}) % 1048576 % 16 = 0)"
     )
     bounds = F.expr("concat(array(CAST(1 AS BIGINT)), cuts, array(L + 1))")
     chunks = F.expr(
