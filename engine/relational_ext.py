@@ -1001,3 +1001,59 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_inter_est"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, user_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id) = 1
+             THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    ),
+    running AS (
+      SELECT event_type, ts, event_id,
+             CAST(sum(first_seen) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_users_so_far
+      FROM flagged
+    )
+    -- the thinning filter must sit ABOVE the window CTE: WHERE in the
+    -- same SELECT would filter BEFORE window evaluation (SQL clause
+    -- order) and the running sum would only see every-20th flag
+    SELECT event_type, ts, event_id, distinct_users_so_far
+    FROM running WHERE event_id % 20 = 0
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — the cumulative
+    unique-users curve — which NEITHER engine supports natively
+    (COUNT(DISTINCT) OVER is illegal in Spark and DuckDB alike). The
+    standard decomposition: flag each (type, user)'s FIRST occurrence
+    with one window, then a running sum of flags with a second window on
+    the coarser (type) partitioning — distinct-so-far ≡ first-occurrences-
+    so-far. Two shuffles total; the second window's state is one counter,
+    never a distinct set, so memory is O(1) per partition at any scale
+    (an exact distinct set in window state would be the scale-killer).
+    Output thinned to every-20th event to keep the checked result
+    compact; the window math runs over all rows."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select("event_type", "ts", "event_id", "user_id").withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    out = flagged.withColumn(
+        "distinct_users_so_far", F.sum("first_seen").over(w_run).cast("long")
+    )
+    return out.where(F.col("event_id") % 20 == 0).select(
+        "event_type", "ts", "event_id", "distinct_users_so_far"
+    )

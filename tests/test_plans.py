@@ -596,10 +596,12 @@ def test_collect_sites_are_bounded():
         # file -> list of regexes, one per allowed site in that file
         "cdc.py": [r'delta\.select\("bucket"\)\.distinct\(\)\.collect\(\)'],
         "graph_ext.py": [
-            # 1-row convergence scalars (label-sum / ancestor-sum fixpoint),
-            # one per bounded O(log n) iteration — never row data
+            # 1-row convergence scalar (label-sum fixpoint), one per bounded
+            # O(log n) pointer-jumping round — never row data
             r'lab\.agg\(F\.sum\("lab"\)\.alias\("s"\)\)\.collect\(\)\[0\]',
-            r'state\.agg\(F\.sum\("anc"\)\.alias\("s"\)\)\.collect\(\)\[0\]',
+            # 1-row max-key scalar that derives the hierarchy loop's
+            # provable round bound (digits → ceil(log2 depth))
+            r'c\.agg\(F\.max\("v"\)\.alias\("m"\)\)\.collect\(\)\[0\]',
         ],
         "io.py": [r't\["nation"\]\.collect\(\)'],  # 25-row dim fixture
         "similarity.py": [r"ec\.collect\(\)"],  # 64k-edge-capped union-find
