@@ -91,5 +91,6 @@ def load_all() -> None:
         streaming,
         text_ext,
         tpch_ext,
+        txlog,
         udf,
     )

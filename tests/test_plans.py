@@ -604,6 +604,9 @@ def test_collect_sites_are_bounded():
             r'c\.agg\(F\.max\("v"\)\.alias\("m"\)\)\.collect\(\)\[0\]',
         ],
         "io.py": [r't\["nation"\]\.collect\(\)'],  # 25-row dim fixture
+        # 1-row (n, checksum_cents) aggregates per table version / reader —
+        # the txlog keys' self-verification scalars, never row data
+        "txlog.py": [r'\)\.collect\(\)\[0\]'],
         "similarity.py": [r"ec\.collect\(\)"],  # 64k-edge-capped union-find
         "streaming.py": [
             r'alias\("q3"\),\n    \)\.collect\(\)\[0\]',  # 1-row quartile bounds
