@@ -911,3 +911,64 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"), F.sum("value").alias("sum_value")
     )
     return _run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_txlog_sink",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink into the hand-rolled transaction log — the Delta-
+    streaming-sink pattern: each micro-batch MERGEs its latest-per-key
+    rows into a TxTable (engine/txlog.py) with the BATCH ID committed in
+    the manifest as an idempotence token, so at-least-once redelivery is
+    EXACTLY-ONCE at the table: a replayed batch finds its token and
+    no-ops before touching data. The replay is exercised for real — after
+    the stream drains, the last batch id is re-submitted with a
+    poisoned DataFrame (the full raw feed); the version count and final
+    result must be unchanged, which only holds if the token check fired
+    (engine-asserted, and any leak would also shift the hash vs the
+    batch latest-per-key oracle). Later batches carry strictly later
+    event times (quartile-cut files), so merge-last-wins ≡ global
+    latest-per-key. At 100 TB the COW merge narrows to touched
+    partitions (`cdc_partition_pruned_merge`'s shape); the manifest
+    commit stays one atomic rename per batch."""
+    from engine.txlog import TxTable
+
+    cols = ["user_id", "event_id", "ts", "value"]
+    root = io_tmpdir("engine_txsink_")
+    t = TxTable(spark, os.path.join(root, "tbl"))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        token = f"batch={batch_id}"
+        if any(op.endswith(f"#{token}") for op in t.ops()):
+            return  # redelivered batch: already committed, exactly-once no-op
+        latest = dedup_extract(batch_df.select(*cols), ["user_id"], "ts", "event_id")
+        if not t.versions():
+            t.create(latest, n_files=2, note=token)
+        else:
+            t.merge(latest, "user_id", n_files=2, note=token)
+
+    s = _read_stream(spark, sf_dir, max_files=1)
+    with tempfile.TemporaryDirectory(prefix="engine_ckpt_") as ckpt:
+        q = (
+            s.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_versions = len(t.versions())
+    last_id = n_versions - 1
+    # simulate at-least-once redelivery with a poisoned payload: if the
+    # idempotence token were ignored, the raw feed would corrupt the table
+    commit_batch(load_tables(spark, sf_dir)["events"], last_id)
+    assert len(t.versions()) == n_versions, "replayed batch must be a no-op"
+    return t.read().select("user_id", "event_id", "value").localCheckpoint(eager=True)

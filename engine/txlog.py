@@ -68,6 +68,9 @@ class TxTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def ops(self) -> list[str]:
+        return [self.manifest(v)["op"] for v in self.versions()]
+
     def _commit(self, files: list[str], op: str) -> int:
         version = (self.versions()[-1] + 1) if self.versions() else 0
         doc = {"version": version, "op": op, "files": sorted(files)}
@@ -91,22 +94,26 @@ class TxTable:
         ]
 
     # -- table operations -------------------------------------------------
-    def create(self, df: DataFrame, n_files: int = 4) -> int:
-        return self._commit(self._write_files(df, n_files, "base"), "CREATE")
+    def create(self, df: DataFrame, n_files: int = 4, note: str = "") -> int:
+        op = "CREATE" + (f"#{note}" if note else "")
+        return self._commit(self._write_files(df, n_files, "base"), op)
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.versions()[-1] if version is None else version
         files = self.manifest(v)["files"]
         return self.spark.read.parquet(*files)
 
-    def merge(self, updates: DataFrame, key: str, n_files: int = 4) -> int:
+    def merge(self, updates: DataFrame, key: str, n_files: int = 4, note: str = "") -> int:
         """Copy-on-write upsert: latest snapshot anti-joined on the key,
         unioned with the updates, landed as NEW files; old files stay
-        untouched for older versions' readers."""
+        untouched for older versions' readers. ``note`` lands in the
+        committed op string — the idempotence token a streaming sink
+        checks before re-applying a redelivered batch."""
         cur = self.read()
         merged = cur.join(updates.select(key), key, "left_anti").unionByName(updates)
         tag = f"merge_v{len(self.versions())}"
-        return self._commit(self._write_files(merged, n_files, tag), "MERGE")
+        op = "MERGE" + (f"#{note}" if note else "")
+        return self._commit(self._write_files(merged, n_files, tag), op)
 
     def delete(self, predicate, n_files: int = 4) -> int:
         cur = self.read()
