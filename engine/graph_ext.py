@@ -146,7 +146,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", F.col("lab2").alias("lab"))
         )
         lab = jumped.localCheckpoint()  # truncate lineage between rounds
-        s = lab.agg(F.sum("lab").alias("s")).collect()[0].s
+        # decimal(38,0) sum: labels are custkeys, and at the 100 TB node
+        # counts this module argues for (~1.5e10 nodes of similar
+        # magnitude) a raw int64 sum wraps silently in non-ANSI Spark —
+        # a wrapped collision could falsely signal convergence (ADVICE
+        # r08). decimal(38,0) holds sums to ~1e38, far past any corpus.
+        s = lab.agg(F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).collect()[0].s
         if s == prev_sum:
             break
         prev_sum = s
@@ -306,20 +311,30 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (diameter unknowable without traversal), the depth bound
     here is DERIVABLE from one scalar — max depth = digits(max key) —
     so the loop runs a PROVABLE round count with no per-round
-    convergence actions (r08 session-2: the fixpoint-check variant
-    spent ~0.85 s/round on checkpoint + scalar at sf10; the bounded
-    loop drops one round and every per-round driver action). Oracle:
-    genuine recursive CTE. Output: per-depth rollup (≤ 1/key digit)."""
+    convergence actions. r09 floor cut (VERDICT r08 item 3: the key sat
+    at 3.11× at sf10, ~0.85 s/round of localCheckpoint materialization
+    + job submission): because the round count is provable, NO per-round
+    materialization is needed at all — each round's state is lazily
+    ``persist()``-ed, the self-join's two references resolve to the same
+    InMemoryRelation, and the entire doubling chain runs as ONE job at
+    the final action (2 jobs total incl. the max-key scalar, vs
+    rounds+2 before). The ancestor join is LEFT with coalesce (ADVICE
+    r08): on a key space where some ancestor is absent (1-based TPC-H
+    custkeys have no node 0), a missing parent acts as an absorbing
+    root instead of silently cascade-dropping its subtree.
+    Oracle: genuine recursive CTE. Output: per-depth rollup (≤ 1/key
+    digit)."""
     c = load_tables(spark, sf_dir)["customer"].select(F.col("c_custkey").alias("v"))
     state = c.select(
         "v",
         F.expr("CASE WHEN v > 0 THEN v div 10 ELSE v END").alias("anc"),
         F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
-    ).localCheckpoint()
+    )
     # provable round bound from one 1-row scalar: depth = digit count
     max_key = c.agg(F.max("v").alias("m")).collect()[0].m
     max_depth = len(str(max(int(max_key), 1)))
     rounds = max(1, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
+    handles = []
     for _ in range(rounds):
         nxt = (
             state.alias("a")
@@ -330,10 +345,19 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("d").alias("d2"),
                 ).alias("b"),
                 "anc",
+                "left",
             )
-            .select("v", F.col("anc2").alias("anc"), (F.col("d") + F.col("d2")).alias("d"))
+            .select(
+                "v",
+                F.coalesce(F.col("anc2"), F.col("anc")).alias("anc"),
+                (F.col("d") + F.coalesce(F.col("d2"), F.lit(0))).alias("d"),
+            )
         )
-        state = nxt.localCheckpoint()
-    return state.groupBy(F.col("d").alias("depth")).agg(
+        state = nxt.persist()  # lazy: populated once, read twice, in ONE job
+        handles.append(state)
+    out = state.groupBy(F.col("d").alias("depth")).agg(
         F.count("*").alias("n_nodes"), F.sum("v").alias("sum_custkey")
-    )
+    ).localCheckpoint(eager=True)  # ≤ 1 row per key digit; frees the caches
+    for h in handles:
+        h.unpersist()
+    return out

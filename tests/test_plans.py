@@ -596,17 +596,22 @@ def test_collect_sites_are_bounded():
         # file -> list of regexes, one per allowed site in that file
         "cdc.py": [r'delta\.select\("bucket"\)\.distinct\(\)\.collect\(\)'],
         "graph_ext.py": [
-            # 1-row convergence scalar (label-sum fixpoint), one per bounded
-            # O(log n) pointer-jumping round — never row data
-            r'lab\.agg\(F\.sum\("lab"\)\.alias\("s"\)\)\.collect\(\)\[0\]',
+            # 1-row convergence scalar (label-sum fixpoint, decimal(38,0)
+            # so it cannot wrap at any node count — ADVICE r08), one per
+            # bounded O(log n) pointer-jumping round — never row data
+            r'lab\.agg\(F\.sum\(F\.col\("lab"\)\.cast\("decimal\(38,0\)"\)\)'
+            r'\.alias\("s"\)\)\.collect\(\)\[0\]',
             # 1-row max-key scalar that derives the hierarchy loop's
             # provable round bound (digits → ceil(log2 depth))
             r'c\.agg\(F\.max\("v"\)\.alias\("m"\)\)\.collect\(\)\[0\]',
         ],
         "io.py": [r't\["nation"\]\.collect\(\)'],  # 25-row dim fixture
         # 1-row (n, checksum_cents) aggregates per table version / reader —
-        # the txlog keys' self-verification scalars, never row data
-        "txlog.py": [r'\)\.collect\(\)\[0\]'],
+        # the txlog keys' self-verification scalars, never row data.
+        # Anchored on the checksum agg's alias (ADVICE r08: the old
+        # generic ').collect()[0]' whitelisted ANY future single-row
+        # collect in the file), so a new collect site still fails here.
+        "txlog.py": [r'\.alias\("c"\),\s*\)\.collect\(\)\[0\]'],
         "similarity.py": [r"ec\.collect\(\)"],  # 64k-edge-capped union-find
         "streaming.py": [
             r'alias\("q3"\),\n    \)\.collect\(\)\[0\]',  # 1-row quartile bounds
@@ -791,26 +796,38 @@ def test_cdc_chunk_dedup_is_hof_only(spark, sf_dir):
     )
 
 
-def test_graph_components_converge_in_log_rounds(spark, sf_dir):
+def test_graph_components_converge_in_log_rounds(spark, sf_dir, monkeypatch):
     """Pointer jumping must converge in O(log diameter) rounds: the
     fixture graph's components live in blocks of 16 (diameter ≤ 15), so
-    the loop must exit well under the 40-round safety cap. Round count is
-    observed via the convergence scalar's action count."""
-    from engine import graph_ext
-
-    calls = {"n": 0}
-    orig = graph_ext.referral_graph
-
-    # count rounds by intercepting the per-round collect through sc's job
-    # group would be brittle; instead run the key and assert the RESULT is
-    # a fixpoint of one more propagation round (idempotence = convergence).
-    nodes, edges = orig(spark, sf_dir)
+    the loop must exit well under the 40-round safety cap. Round count IS
+    observed (ADVICE r08: the old version only checked the partition
+    property): every loop iteration calls localCheckpoint exactly once,
+    so (checkpoint calls − 2 setup checkpoints on und/lab) counts rounds
+    — an O(diameter) regression (dropping the jump step) would fail the
+    ceil(log2(16)) + slack bound, not just run slower."""
     from pyspark.sql import functions as F
 
+    from engine.graph_ext import referral_graph
+
+    calls = {"n": 0}
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is the
+    # abstract base in PySpark 4; subclass methods shadow a base patch)
+    df_cls = type(spark.range(1))
+    orig_ckpt = df_cls.localCheckpoint
+
+    def counting_ckpt(self, *a, **kw):
+        calls["n"] += 1
+        return orig_ckpt(self, *a, **kw)
+
+    monkeypatch.setattr(df_cls, "localCheckpoint", counting_ckpt)
     out = registry.QUERIES["graph_connected_components"](spark, sf_dir)
     comp = out.agg(F.count("*").alias("c"), F.sum("sum_custkey").alias("s")).collect()[0]
+    rounds = calls["n"] - 2  # und + initial lab are setup, not rounds
+    assert 1 <= rounds <= 4 + 2, (  # ceil(log2(diameter 16)) + slack
+        f"pointer jumping took {rounds} rounds — O(log diameter) regressed"
+    )
+    nodes, _ = referral_graph(spark, sf_dir)
     n_nodes = nodes.count()
     total = nodes.agg(F.sum("v").alias("s")).collect()[0].s
     assert out.agg(F.sum("n_nodes")).collect()[0][0] == n_nodes
     assert comp.s == total, "components must partition the node set"
-    assert calls["n"] == 0  # silence the unused-intercept lint pattern
