@@ -25,6 +25,7 @@ import itertools
 import os
 import tempfile
 import time
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -35,16 +36,24 @@ from engine.io import tmpdir as io_tmpdir
 from engine.registry import query
 
 _uid = itertools.count()
-_stream_input_cache: dict[tuple[int, str], str] = {}
+# weakly keyed by the session (r09, VERDICT r08 item 8): an id()-keyed
+# dict is never evicted, so a new session allocated at a dead session's
+# address would inherit its entries — same hazard class the r08 ADVICE
+# flagged for conf overrides (harmless here only because the content is
+# deterministic per sf_dir; fixed for consistency with that pattern)
+_stream_input_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write normalized events as 4 time-ordered parquet files (cached per
     session+sf_dir). Files are written sequentially so modification-time
     order == event-time order (micro-batch simulation)."""
-    key = (id(spark), sf_dir)
-    if key in _stream_input_cache and os.path.isdir(_stream_input_cache[key]):
-        return _stream_input_cache[key]
+    per_session = _stream_input_cache.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     ev = load_tables(spark, sf_dir)["events"]
     base = io_tmpdir("engine_stream_in_")
     bounds = ev.select(
@@ -61,7 +70,7 @@ def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         part.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
         time.sleep(0.05)  # distinct mtimes → deterministic batch order
-    _stream_input_cache[key] = base
+    per_session[sf_dir] = base
     return base
 
 
