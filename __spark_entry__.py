@@ -34,35 +34,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys whose implementation changed THIS round — their recorded driver
 # evidence is stale by construction, so they jump the queue regardless of
 # past green rows (the ADVICE-r05 staleness lesson: a changed key must
-# never coast on its old rank). (agg_pricing_summary_sorted is NEW in r08
-# and rides tier 4.)
-_PROMOTED_R08 = [
-    # r08 lossless-quantization fix (ADVICE r07: per-row snap at 1e-4 —
-    # exact for a 2dp×2dp product — replaces cent snapping; engine AND
-    # oracle changed, re-verified at sf0.01/sf0.1/sf1):
-    "agg_volume_shipping",
-    # r08 scale-safe reshape (VERDICT r07 item 3: bucket bits now grow
-    # with corpus size, plus probe-side skew salting above 500k vectors
-    # — engine changed twice, oracle once; re-verified at
-    # sf0.01/sf0.1/sf1/sf10 + the synthetic edge corpus):
-    "llm_ann_lsh",
-    # r08 real-format codec (VERDICT r07 item 6: BMP replaces the
-    # synthetic IMG1 container; decode oracle's payload_len changed to
-    # the BMP size arithmetic — re-verified at sf0.01/sf0.1):
-    "udf_multimodal_decode",
-    "udf_multimodal_frames",
-    "udf_multimodal_resize",
-    # r08 sf10 parity-sweep determinism fixes (VERDICT r07 item 5 — the
-    # decade-up sweep caught six keys whose engine/oracle agreement was
-    # a property of fixtures ≤sf1; same two classes as the r07 sf1
-    # finds). Engine AND oracle changed; each re-verified at
-    # sf0.01/sf0.1/sf1/sf10 (scripts/verify_keys.py):
-    "fn_array_basic",  # round() half-boundary → floor(x*1e5+0.5) snap
-    "llm_quality_score",  # round(x,6) → floor(x*1e6+0.5)/1e6 on all ratios
-    "sql_pricing_summary",  # raw double money sum → exact 4dp BIGINT sum
-    "agg_incremental_view",  # raw double partials → exact-cents merge
-    "agg_observed_metrics",  # accumulator double sum → exact-cents counter
-    "agg_hll_sketch_merge",  # lgK 12→16: ±3% check moves from ~1.9σ to ~7σ
+# never coast on its old rank). (sink_txlog_conflict is NEW in r09 and
+# rides tier 4.) The r08 list (all 11 re-passed their driver rows in
+# CORRECTNESS_r08) is retired; the 50-slot prefix's spare tier-5 slots
+# rotate the 28 keys whose newest evidence is r03 (VERDICT r08 item 1).
+_PROMOTED_R09 = [
+    # r09 scale-tractable oracle (VERDICT r08 item 5): the recursive-CTE
+    # transitive closure (>40 GB DuckDB spill at sf1) is replaced by an
+    # unrolled pointer-jumping label propagation with a fixpoint
+    # CERTIFICATE (non-convergence poisons the hash); engine unchanged,
+    # oracle changed — re-verified at sf0.01/sf0.1/sf1, and the key left
+    # scripts/scaled_parity.py's DEFAULT_SKIP:
+    "llm_dedup_clusters",
+    # r09 single-job rework (VERDICT r08 item 3: per-round localCheckpoint
+    # floor removed via lazy persist — the whole doubling chain is ONE
+    # job) + ADVICE r08 absorbing-root left join:
+    "sql_recursive_hierarchy",
+    # r09 overflow-safe convergence scalar (ADVICE r08: label sum now
+    # decimal(38,0), cannot wrap at any node count):
+    "graph_connected_components",
+    # r09 commit-protocol change under every txlog key (ADVICE r08 /
+    # VERDICT item 4: create-exclusive os.link publish + CommitConflict
+    # + unique staged-file dirs replace the clobbering os.rename):
+    "sink_txlog_acid",
+    "scan_txlog_snapshot_isolation",
+    "stream_txlog_sink",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
@@ -105,7 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's fixed-prefix check lands on the keys that need it most:
 
     tier 0: keys whose implementation changed since their last driver
-            row (_PROMOTED_R08) — their green rows are stale evidence;
+            row (_PROMOTED_R09) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
     tier 4: never-driver-checked keys in name order (16 remain after
@@ -117,7 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adds no evidence).
     """
     rank, last_pass = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R08)}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R09)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]

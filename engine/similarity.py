@@ -856,27 +856,65 @@ def _dup_edges(e: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "llm_dedup_clusters",
-    oracle=f"""
+def _clusters_oracle(rounds: int) -> str:
+    """Scale-tractable components oracle: UNROLLED neighbor-min + pointer
+    jumping instead of a recursive-CTE transitive closure (r09, VERDICT
+    r08 item 5 — the closure materializes O(Σ component²) reach pairs
+    and spilled >40 GB of DuckDB temp at sf1; this form is O(rounds·|E|)
+    and each round is two hash joins). Correctness does NOT rest on the
+    round count being sufficient: the final CTE re-runs one neighbor-min
+    pass as a FIXPOINT CERTIFICATE and poisons the result with a
+    (-1, -1) row per still-improvable vertex — a fixpoint of
+    neighbor-min forces equal labels across every edge (lab(u) ≤ lab(v)
+    and lab(v) ≤ lab(u)), i.e. constant per component, and the component
+    min m always keeps lab(m) = m, so certified labels ARE the
+    component-min fixpoint the engine computes. Too few rounds therefore
+    fails the hash gate loudly instead of passing a half-converged
+    labeling.
+
+    Every round CTE is AS MATERIALIZED: each references its predecessor
+    TWICE (self-join for the jump), so inlining would blow the plan up
+    2^rounds-fold — with 12 rounds that re-plans the LSH candidate CTE
+    four thousand times (the first cut of this oracle hung exactly
+    there)."""
+    sql = f"""
     WITH {_DUP_PAIR_SQL_CTE}, e AS (
       SELECT id_a AS u, id_b AS v FROM pairs WHERE cos >= {_NEAR_DUP_TAU}
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
-    ), verts AS (
-      SELECT DISTINCT u AS id FROM sym
-    ), adj AS (
-      SELECT u, v FROM sym UNION ALL SELECT id AS u, id AS v FROM verts
-    ), reach AS (
-      WITH RECURSIVE r(u, v) AS (
-        SELECT u, v FROM adj
-        UNION
-        SELECT r.u, a.v FROM r JOIN adj a ON r.v = a.u
-      ) SELECT u, v FROM r
+    ),
+    l0 AS MATERIALIZED (
+      SELECT u AS id, least(u, min(v)) AS lab FROM sym GROUP BY u
+    )"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    l{k}n AS MATERIALIZED (
+      SELECT l.id, least(l.lab, min(g.lab)) AS lab
+      FROM l{k - 1} l
+      JOIN sym s ON s.u = l.id
+      JOIN l{k - 1} g ON g.id = s.v
+      GROUP BY l.id, l.lab
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT a.id, b.lab FROM l{k}n a JOIN l{k}n b ON b.id = a.lab
+    )"""
+    sql += f""",
+    not_converged AS (
+      SELECT f.id
+      FROM l{rounds} f
+      JOIN sym s ON s.u = f.id
+      JOIN l{rounds} g ON g.id = s.v
+      GROUP BY f.id, f.lab
+      HAVING min(g.lab) < f.lab
     )
-    SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u
-    """,
-)
+    SELECT id AS vec_id, lab AS cluster_id FROM l{rounds}
+    UNION ALL
+    SELECT -1 AS vec_id, -1 AS cluster_id FROM not_converged
+    """
+    return sql
+
+
+@query("llm_dedup_clusters", oracle=_clusters_oracle(12))
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate CLUSTERS (connected components): pairwise
     verdicts under-collapse when duplicates chain (A~B, B~C but A~̸C must

@@ -37,10 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Oracles known intractable at scaled fixtures (the ENGINE side of each
 # is still exercised by bench/stress at these scales; what cannot run is
-# DuckDB's side of the comparison):
-# - llm_dedup_clusters: recursive-CTE transitive closure; 115 s at sf0.1,
-#   spills >40 GB of DuckDB temp at sf1 (measured r07 — filled the disk).
-DEFAULT_SKIP = {"llm_dedup_clusters"}
+# DuckDB's side of the comparison). EMPTY since r09: the one former
+# entry (llm_dedup_clusters — its recursive-CTE transitive closure took
+# 115 s at sf0.1 and spilled >40 GB of DuckDB temp at sf1) now runs an
+# unrolled pointer-jumping oracle with a fixpoint certificate
+# (engine/similarity.py:_clusters_oracle): 21 s at sf0.1, minutes not
+# disks at sf1.
+DEFAULT_SKIP: set[str] = set()
 
 
 def main() -> None:
