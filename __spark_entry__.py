@@ -39,6 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r08) is retired; the 50-slot prefix's spare tier-5 slots
 # rotate the 28 keys whose newest evidence is r03 (VERDICT r08 item 1).
 _PROMOTED_R09 = [
+    # r09 sf100-sweep fix (VERDICT r08 item 2): the flagship's
+    # round(sum(double),2) money sums crossed the half-cent grid at
+    # sf100 exactly as SCALING.md predicted; engine AND oracle moved to
+    # the sorted twin's exact integer grids (order-independent at any
+    # scale) — re-verified at sf0.01/sf0.1/sf1/sf10/sf100:
+    "agg_pricing_summary",
     # r09 scale-tractable oracle (VERDICT r08 item 5): the recursive-CTE
     # transitive closure (>40 GB DuckDB spill at sf1) is replaced by an
     # unrolled pointer-jumping label propagation with a fixpoint

@@ -527,16 +527,32 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan_cache=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+           CAST(sum(qty_c)    AS DOUBLE) / 100.0     AS sum_qty,
+           CAST(sum(price_c)  AS DOUBLE) / 100.0     AS sum_base_price,
+           CAST(sum(dp4)      AS DOUBLE) / 10000.0   AS sum_disc_price,
+           CAST(sum(ch6 // 1000000) AS DOUBLE)
+             + CAST(sum(ch6 % 1000000) AS DOUBLE) / 1000000.0
+                                                     AS sum_charge,
+           (CAST(sum(qty_c)   AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+                                                     AS avg_qty,
+           (CAST(sum(price_c) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+                                                     AS avg_price,
+           (CAST(sum(disc_c)  AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)
+                                                     AS avg_disc,
+           count(*)                                  AS count_order
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity      * 100 + 0.5) AS BIGINT) AS qty_c,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(floor(l_discount      * 100 + 0.5) AS BIGINT) AS disc_c,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS dp4,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))      AS ch6
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -547,21 +563,41 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     final after a 6-group shuffle) → tiny result. The shuffle carries only
     6 groups × partial states — this plan is flat-scalable: at 100 TB the
     cost is the scan, which prunes to 7 columns.
-    """
+
+    r09: the measures moved to the sorted twin's EXACT integer grids
+    (per-row floor(x·grid+0.5) snaps — lossless for 2dp inputs, dp4/ch6
+    exact 4dp/6dp products, hi/lo int64 charge split; see
+    ``agg_pricing_summary_sorted``). The round(sum(double),2) original
+    was the documented sf100 grid-crossing (SCALING.md): this round's
+    targeted sf100 sweep confirmed the half-cent break on real data, so
+    the unsorted flagship now carries the same order-independent
+    arithmetic as its layout twin — the two keys emit IDENTICAL values
+    and differ only in physical layout, which is the honest A/B."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
+    c = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    dp4 = c("l_extendedprice") * (F.lit(100) - c("l_discount"))
+    ch6 = dp4 * (F.lit(100) + c("l_tax"))
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(c("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(c("l_extendedprice")).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(dp4).cast("double") / 10000.0).alias("sum_disc_price"),
+            (
+                F.sum(F.floor(ch6 / F.lit(1000000)).cast("long")).cast("double")
+                + F.sum(ch6 % F.lit(1000000)).cast("double") / 1000000.0
+            ).alias("sum_charge"),
+            (
+                (F.sum(c("l_quantity")).cast("double") / 100.0) / n.cast("double")
+            ).alias("avg_qty"),
+            (
+                (F.sum(c("l_extendedprice")).cast("double") / 100.0) / n.cast("double")
+            ).alias("avg_price"),
+            (
+                (F.sum(c("l_discount")).cast("double") / 100.0) / n.cast("double")
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
