@@ -288,11 +288,21 @@ def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> Spa
     return configure(b.getOrCreate())
 
 
-#: (session id, sf_dir) → table dict. DataFrames are immutable lazy plans,
+#: session → {sf_dir → table dict}. DataFrames are immutable lazy plans,
 #: so caching is safe; it removes ~0.5-1 s of per-query footer reads + view
-#: registration (measured part of the local job floor).
-_tables_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_views_current: dict[int, str] = {}
+#: registration (measured part of the local job floor). Weakly keyed by
+#: the session (r10, VERDICT r09 item 7 — third strike of the id()-reuse
+#: hazard class): an id()-keyed dict is never evicted, so a new session
+#: allocated at a dead session's address would inherit DataFrames bound
+#: to a dead JVM session. Note the cached DataFrames reference their
+#: session, so an entry lives exactly as long as its session — the point
+#: is that a NEW session can never collide with a dead one's entries.
+_tables_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_views_current: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -306,15 +316,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Also registers each table as a temp view ``<name>`` for the SQL entry
     point (SURVEY §3.2). Cached per (session, sf_dir).
     """
-    key = (id(spark), sf_dir)
-    cached = _tables_cache.get(key)
+    per_session = _tables_cache.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
     if cached is not None:
         # temp views must track the ACTIVE sf_dir (SQL-path queries read
         # them); re-register only when this session last pointed elsewhere
-        if _views_current.get(id(spark)) != sf_dir:
+        if _views_current.get(spark) != sf_dir:
             for name, df in cached.items():
                 df.createOrReplaceTempView(name)
-            _views_current[id(spark)] = sf_dir
+            _views_current[spark] = sf_dir
         return cached
     configure(spark)
     out: dict[str, DataFrame] = {}
@@ -334,8 +344,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         out[name] = df
         df.createOrReplaceTempView(name)
-    _tables_cache[key] = out
-    _views_current[id(spark)] = sf_dir
+    per_session[sf_dir] = out
+    _views_current[spark] = sf_dir
     return out
 
 

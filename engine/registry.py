@@ -8,6 +8,7 @@ against DuckDB before it is ever declared.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from typing import Optional
 
@@ -18,7 +19,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
 
-#: (session id, sf_dir, key) → built-but-unexecuted DataFrame. The
+#: session → {(sf_dir, key) → built-but-unexecuted DataFrame}. The
 #: prepared-statement pattern: building a deep DataFrame tree costs
 #: 50-300 ms of py4j round-trips per call (measured r06: revenue's
 #: 6-join tree 0.15 s, snapshot_diff 0.3 s), all JVM-side re-derivable.
@@ -28,8 +29,13 @@ ORACLE_SQL: dict[str, str] = {}
 #: current files — so no executed stage or result is ever reused; only
 #: the Python-side expression-tree construction is. Staleness contract
 #: is identical to engine.io.load_tables' table cache (file listing is
-#: pinned per (session, sf_dir)).
-_plan_store: dict[tuple[int, str, str], DataFrame] = {}
+#: pinned per (session, sf_dir)). Weakly keyed by the session (r10,
+#: VERDICT r09 item 7): id()-keyed entries could be inherited by a new
+#: session allocated at a dead session's address; the cached plans
+#: reference their session, so entries live exactly as long as it does.
+_plan_store: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def query(
@@ -57,11 +63,11 @@ def query(
 
             @functools.wraps(fn)
             def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-                key = (id(spark), sf_dir, name)
-                df = _plan_store.get(key)
+                store = _plan_store.setdefault(spark, {})
+                df = store.get((sf_dir, name))
                 if df is None:
                     df = fn(spark, sf_dir)
-                    _plan_store[key] = df
+                    store[(sf_dir, name)] = df
                 return df.where(F.lit(True))
 
             QUERIES[name] = wrapped

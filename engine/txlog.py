@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,9 +55,12 @@ class CommitConflict(Exception):
     """Another writer committed the version this transaction targeted.
 
     The caller's staged files were derived from a snapshot that is no
-    longer latest — it must re-read, re-derive, and re-stage (the staged
-    data files are orphans the next VACUUM-style cleanup may reclaim;
-    they are unreferenced by any manifest so readers never see them)."""
+    longer latest — it must re-read, re-derive, and re-stage. The staged
+    data files become orphans: unreferenced by any manifest, so readers
+    never see them, and reclaimed by ``vacuum()``'s age-guarded orphan
+    sweep once they are older than ``orphan_grace_sec`` (they appear in
+    no manifest, so the manifest set-difference alone could never find
+    them — ADVICE r09)."""
 
 
 class TxTable:
@@ -199,20 +203,80 @@ class TxTable:
         tag = f"optimize_v{len(self.versions())}"
         return self._commit(self._write_files(cur, 1, tag), "OPTIMIZE")
 
-    def vacuum(self, retain_last: int) -> int:
+    def vacuum(self, retain_last: int, orphan_grace_sec: float = 86400.0) -> int:
         """Delete data files referenced by NO retained manifest; returns
-        the number removed. Pure manifest set-difference — no data scan."""
+        the number removed.
+
+        Two sweeps, still no data scan:
+
+        1. Manifest set-difference — files listed by a non-retained
+           manifest and by no retained one. Safe at any age: they were
+           committed, so no in-flight transaction can still be writing
+           them.
+        2. Orphan sweep (r10, ADVICE r09) — files on disk under
+           ``data_dir`` that appear in NO manifest at all: the staged
+           output of conflicted or abandoned transactions. Without this,
+           every lost commit race leaked a full COW copy of the table
+           forever (orphans are invisible to the manifest walk by
+           construction). Age-guarded by ``orphan_grace_sec`` against
+           the file mtime so an IN-FLIGHT transaction's staging dir —
+           written before its commit point — is never swept mid-write;
+           Delta's VACUUM uses the same mtime-retention defense.
+        """
         vs = self.versions()
         retained = set(vs[-retain_last:])
         keep: set[str] = set()
         for v in retained:
             keep.update(self.manifest(v)["files"])
+        referenced: set[str] = set(keep)
         drop: set[str] = set()
         for v in vs:
             if v not in retained:
-                drop.update(set(self.manifest(v)["files"]) - keep)
+                files = set(self.manifest(v)["files"])
+                drop.update(files - keep)
+                referenced.update(files)
+        cutoff = time.time() - orphan_grace_sec
+        for dirpath, _, names in os.walk(self.data_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                if full in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        drop.add(full)
+                except OSError:
+                    continue  # raced with another cleanup — already gone
         for f in drop:
-            os.remove(f)
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        # best-effort: remove staging dirs emptied of parquet (their
+        # _SUCCESS/.crc markers are dead weight once the data is gone);
+        # same age guard — removing files above bumps the dir mtime, so
+        # a dir swept this pass is usually reclaimed on the NEXT vacuum,
+        # which is fine: correctness never depends on empty dirs.
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if not os.path.isdir(full):
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                if any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(full)
+                    for f in fs
+                ):
+                    continue
+                for dp, _, fs in os.walk(full, topdown=False):
+                    for f in fs:
+                        os.remove(os.path.join(dp, f))
+                    os.rmdir(dp)
+            except OSError:
+                continue
         return len(drop)
 
 

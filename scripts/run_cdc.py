@@ -35,8 +35,12 @@ Per-source lifecycle (exactly the reference's linear batch pipeline):
 
 1. read the extract for <run-date> with the configured explicit schema;
 2. optional dedup_extract (latest row per key wins, deterministic tiebreak);
-3. first run (no snapshot yet): every row op='I'; else snapshot_diff
-   (full extracts — full-outer join, I/U/D/N classification) or
+3. first run (no snapshot strictly before this run-date): every row
+   op='I'; else diff against the newest snapshot STRICTLY BEFORE the
+   run-date — never the run-date's own snapshot, so re-running a day is
+   idempotent (it recomputes the original diff) instead of diffing the
+   extract against itself (ADVICE r09) — via snapshot_diff (full
+   extracts — full-outer join, I/U/D/N classification) or
    incremental_upsert (delta extracts — I/U only, deletes undetectable
    by definition);
 4. write the new current-state snapshot under
@@ -110,6 +114,41 @@ def _resolve_latest(root: str, name: str) -> str | None:
     return snap or None
 
 
+def _snapshot_dates(root: str, name: str) -> list[str]:
+    """Complete snapshots on disk, oldest → newest. Only dirs carrying
+    Spark's ``_SUCCESS`` marker count — a crashed half-write is never
+    diffed against (the directory listing replaces the _LATEST pointer
+    for PREV resolution, so it needs the same crash-safety property the
+    pointer gave: _SUCCESS is written last by the committer)."""
+    snap_root = os.path.join(root, name, "snapshot")
+    if not os.path.isdir(snap_root):
+        return []
+    return sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(snap_root)
+        if d.startswith("run_date=")
+        and os.path.exists(os.path.join(snap_root, d, "_SUCCESS"))
+    )
+
+
+def _resolve_prev(root: str, name: str, run_date: str) -> str | None:
+    """The snapshot to diff against: the newest complete snapshot
+    STRICTLY BEFORE ``run_date`` (ISO dates order lexically).
+
+    Resolving via _LATEST alone made re-runs destructive (ADVICE r09):
+    re-running the date _LATEST already named diffed the extract against
+    ITSELF — an all-'N' diff that clobbered the day's changelog with an
+    empty partition, and for delta sources the snapshot write read from
+    the very directory it was overwriting. Strictly-before resolution
+    makes a re-run recompute exactly what the original run computed,
+    which is what the overwrite-mode writes' idempotence claim actually
+    requires."""
+    prior = [d for d in _snapshot_dates(root, name) if d < run_date]
+    if not prior:
+        return None
+    return os.path.join(root, name, "snapshot", f"run_date={prior[-1]}")
+
+
 def run_source(spark: SparkSession, root: str, src: dict, run_date: str) -> dict:
     spec = SourceSpec(
         name=src["name"],
@@ -125,7 +164,7 @@ def run_source(spark: SparkSession, root: str, src: dict, run_date: str) -> dict
             curr, list(spec.key_cols), src["dedup"]["order_col"], src["dedup"]["tiebreak"]
         )
 
-    prev_path = _resolve_latest(root, spec.name)
+    prev_path = _resolve_prev(root, spec.name, run_date)
     first_run = prev_path is None
     if first_run:
         # first ever run: no previous snapshot → all rows are inserts
@@ -157,12 +196,17 @@ def run_source(spark: SparkSession, root: str, src: dict, run_date: str) -> dict
     changes = changes.withColumn("run_date", F.lit(run_date))
     changes.write.mode("overwrite").parquet(log_dir)  # idempotent re-run
     new_snapshot.write.mode("overwrite").parquet(snap_dir)
-    # publish-then-point: the pointer flips only after both writes landed
-    ptr = _latest_pointer(root, spec.name)
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(snap_dir)
-    os.replace(tmp, ptr)
+    # publish-then-point: the pointer flips only after both writes landed,
+    # and only FORWARD — a re-run of an older date must not repoint
+    # readers backwards past days that already ran (run_date= prefixes
+    # are equal-length, so the basename comparison is a date comparison)
+    latest = _resolve_latest(root, spec.name)
+    if latest is None or os.path.basename(latest) <= f"run_date={run_date}":
+        ptr = _latest_pointer(root, spec.name)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(snap_dir)
+        os.replace(tmp, ptr)
 
     counts = {
         r["op"]: r["n"]

@@ -40,12 +40,16 @@ PROVIDERS = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1])
-    dirs = args or ["/tmp/engine_sf1"]
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="A/B the streaming state-store provider (HDFS-backed vs RocksDB)"
+    )
+    ap.add_argument("sf_dirs", nargs="*", help="fixture dirs (default /tmp/engine_sf1)")
+    ap.add_argument("--reps", type=int, default=3, help="wall-clock reps per (provider, key)")
+    ns = ap.parse_args()
+    reps = ns.reps
+    dirs = ns.sf_dirs or ["/tmp/engine_sf1"]
 
     from pyspark.sql.streaming import StreamingQueryListener
 

@@ -173,6 +173,57 @@ def test_two_sources_two_days_end_to_end(spark, tmp_path, cli):
     ).count() == n_o1
 
 
+def test_rerun_day_is_idempotent(spark, tmp_path, cli):
+    """ADVICE r09: re-running a run-date whose snapshot _LATEST already
+    points at must recompute the ORIGINAL diff, not diff the extract
+    against itself (which clobbered the day's changelog with an all-'N'
+    empty partition, and for delta sources read from the directory being
+    overwritten). Also: a re-run of an OLDER day must not repoint
+    _LATEST backwards."""
+    base, out = str(tmp_path / "extracts"), str(tmp_path / "cdc_out")
+    _write_extracts(spark, base)
+    cfg = _config(base, out)
+
+    def run_day(d):
+        return {
+            s["source"]: s
+            for s in (cli.run_source(spark, out, src, d) for src in cfg["sources"])
+        }
+
+    run_day("d1")
+    first = run_day("d2")
+
+    def log_counts(name):
+        log = spark.read.option(
+            "basePath", os.path.join(out, name, "changelog")
+        ).parquet(os.path.join(out, name, "changelog"))
+        return {
+            (r.run_date, r.op): r.n
+            for r in log.groupBy("run_date", "op").agg(F.count("*").alias("n")).collect()
+        }
+
+    before = {name: log_counts(name) for name in ("orders", "customer")}
+    assert any(k[0] == "d2" for k in before["orders"]), "day-2 changelog must be non-empty"
+
+    # --- the ADVICE scenario: re-run d2 while _LATEST names d2 -------------
+    second = run_day("d2")
+    assert not second["orders"]["first_run"] and not second["customer"]["first_run"]
+    # per-op counts identical to the original run (not all-'N'/empty)
+    assert second["orders"]["counts"] == first["orders"]["counts"]
+    assert second["customer"]["counts"] == first["customer"]["counts"]
+    assert {name: log_counts(name) for name in ("orders", "customer")} == before
+    assert open(os.path.join(out, "orders", "_LATEST")).read().endswith("run_date=d2")
+
+    # --- re-run the OLDER day: idempotent AND no backward repoint ----------
+    third = run_day("d1")
+    assert third["orders"]["first_run"], "d1 has no strictly-earlier snapshot"
+    assert {name: log_counts(name) for name in ("orders", "customer")} == before
+    for name in ("orders", "customer"):
+        assert open(os.path.join(out, name, "_LATEST")).read().endswith(
+            "run_date=d2"
+        ), "_LATEST must never move backwards"
+
+
 def test_cli_main_runs_from_config_file(spark, tmp_path, cli, monkeypatch):
     """The argv surface: main() reads the config, processes every source,
     prints one JSON line each, exits 0."""

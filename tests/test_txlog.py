@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import tempfile
+import textwrap
 import threading
 
 import pytest
@@ -134,3 +137,108 @@ def test_orphaned_staged_files_invisible_and_reclaimable(spark, orders_small, tm
     }
     assert not (set(staged) & referenced)
     assert on_disk - referenced == set(staged), "only the orphans may dangle"
+
+
+def test_vacuum_reclaims_conflict_orphans(spark, orders_small, tmp_path):
+    """ADVICE r09: orphaned staged files appear in NO manifest, so the
+    manifest set-difference alone can never reclaim them — each lost
+    commit race would leak a full COW table copy forever. vacuum()'s
+    orphan sweep must (a) leave young orphans alone (the in-flight
+    guard: a not-yet-committed transaction's staging dir looks exactly
+    like an orphan), (b) reclaim them once older than the grace, and
+    (c) never touch a file any manifest references."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(orders_small, n_files=2)
+    upd = orders_small.limit(10).withColumn("o_totalprice", F.lit(0.0))
+    target, staged = t.stage_merge(upd, "o_orderkey", n_files=2)
+    t.merge(upd.withColumn("o_totalprice", F.lit(1.0)), "o_orderkey")  # wins v1
+    with pytest.raises(CommitConflict):
+        t._commit(staged, "MERGE#stale", expected_version=target)
+    # default grace (24 h): fresh orphans are in-flight-indistinguishable
+    # and must survive; all manifests retained → manifest sweep drops 0
+    assert t.vacuum(retain_last=10) == 0
+    assert all(os.path.exists(f) for f in staged), "young orphans must survive"
+    # grace elapsed: exactly the orphans go, nothing referenced goes
+    removed = t.vacuum(retain_last=10, orphan_grace_sec=0.0)
+    assert removed == len(staged)
+    assert not any(os.path.exists(f) for f in staged)
+    for v in t.versions():
+        assert all(os.path.exists(f) for f in t.manifest(v)["files"])
+    assert t.read().count() == orders_small.count()
+    # second pass reclaims the now-parquet-free staging dir (dir mtime
+    # was bumped by the removals, so it ages out one vacuum later)
+    t.vacuum(retain_last=10, orphan_grace_sec=0.0)
+    staged_dirs = {os.path.dirname(f) for f in staged}
+    assert not any(os.path.isdir(d) for d in staged_dirs)
+
+
+def test_two_process_commit_race(tmp_path):
+    """VERDICT r09 item 8: the threaded race test shares one Python
+    process, so it cannot witness that ``os.link``'s EEXIST mutual
+    exclusion holds ACROSS process boundaries — the semantics Delta's
+    log-store contract (putIfAbsent) actually specifies. Two subprocess
+    writers hammer the same table's version counter; the commit path is
+    metadata-only (TxTable(None, ...) never touches Spark), so this
+    races the real primitive at OS level without JVM startup."""
+    table = str(tmp_path / "tbl")
+    go = str(tmp_path / "go")
+    n_versions = 300
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        f"""
+        import json, os, sys, time
+        sys.path.insert(0, {repo!r})
+        from engine.txlog import CommitConflict, TxTable
+        tag, table, go = sys.argv[1], sys.argv[2], sys.argv[3]
+        t = TxTable(None, table)
+        # mutual post-import barrier: signalling BEFORE the (slow) pyspark
+        # import would let the faster-importing writer drain every version
+        # unopposed and the race would never actually run
+        open(go + "." + tag, "w").close()
+        deadline = time.time() + 120
+        while not (os.path.exists(go + ".A") and os.path.exists(go + ".B")):
+            time.sleep(0.001)
+        wins, conflicts = [], 0
+        while time.time() < deadline:
+            vs = t.versions()
+            v = (vs[-1] + 1) if vs else 0
+            if v >= {n_versions}:
+                break
+            try:
+                t._commit([], "MERGE#" + tag, expected_version=v)
+                wins.append(v)
+            except CommitConflict:
+                conflicts += 1
+        print(json.dumps({{"wins": wins, "conflicts": conflicts}}))
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, tag, table, go],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for tag in ("A", "B")
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, f"writer crashed: {err}"
+        results.append(json.loads(out))
+    t = TxTable(None, table)
+    # contiguous versions, every manifest parseable (no torn commits)
+    assert t.versions() == list(range(n_versions))
+    ops = t.ops()
+    assert all(op in ("MERGE#A", "MERGE#B") for op in ops)
+    # exactly one winner per version, and the winners' own records agree
+    # with the manifests on disk — a clobber would break either check
+    wins_a, wins_b = set(results[0]["wins"]), set(results[1]["wins"])
+    assert wins_a.isdisjoint(wins_b), "two processes both think they won a version"
+    assert wins_a | wins_b == set(range(n_versions))
+    for v in range(n_versions):
+        want = "MERGE#A" if v in wins_a else "MERGE#B"
+        assert ops[v] == want, f"v{v}: manifest says {ops[v]}, winner bookkeeping says {want}"
+    # with two tight-loop writers and a start barrier, contention is
+    # effectively certain; zero conflicts would mean the race never ran
+    assert results[0]["conflicts"] + results[1]["conflicts"] >= 1
