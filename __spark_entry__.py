@@ -34,37 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys whose implementation changed THIS round — their recorded driver
 # evidence is stale by construction, so they jump the queue regardless of
 # past green rows (the ADVICE-r05 staleness lesson: a changed key must
-# never coast on its old rank). (sink_txlog_conflict is NEW in r09 and
-# rides tier 4.) The r08 list (all 11 re-passed their driver rows in
-# CORRECTNESS_r08) is retired; the 50-slot prefix's spare tier-5 slots
-# rotate the 28 keys whose newest evidence is r03 (VERDICT r08 item 1).
-_PROMOTED_R09 = [
-    # r09 sf100-sweep fix (VERDICT r08 item 2): the flagship's
-    # round(sum(double),2) money sums crossed the half-cent grid at
-    # sf100 exactly as SCALING.md predicted; engine AND oracle moved to
-    # the sorted twin's exact integer grids (order-independent at any
-    # scale) — re-verified at sf0.01/sf0.1/sf1/sf10/sf100:
-    "agg_pricing_summary",
-    # r09 scale-tractable oracle (VERDICT r08 item 5): the recursive-CTE
-    # transitive closure (>40 GB DuckDB spill at sf1) is replaced by an
-    # unrolled pointer-jumping label propagation with a fixpoint
-    # CERTIFICATE (non-convergence poisons the hash); engine unchanged,
-    # oracle changed — re-verified at sf0.01/sf0.1/sf1, and the key left
-    # scripts/scaled_parity.py's DEFAULT_SKIP:
-    "llm_dedup_clusters",
-    # r09 single-job rework (VERDICT r08 item 3: per-round localCheckpoint
-    # floor removed via lazy persist — the whole doubling chain is ONE
-    # job) + ADVICE r08 absorbing-root left join:
-    "sql_recursive_hierarchy",
-    # r09 overflow-safe convergence scalar (ADVICE r08: label sum now
-    # decimal(38,0), cannot wrap at any node count):
-    "graph_connected_components",
-    # r09 commit-protocol change under every txlog key (ADVICE r08 /
-    # VERDICT item 4: create-exclusive os.link publish + CommitConflict
-    # + unique staged-file dirs replace the clobbering os.rename):
-    "sink_txlog_acid",
+# never coast on its old rank). The r09 list (all 7 re-passed their
+# driver rows in CORRECTNESS_r09) is retired; the 50-slot prefix's
+# spare tier-5 slots rotate the 32 keys whose newest evidence is r04
+# (VERDICT r09 item 5).
+_PROMOTED_R10 = [
+    # r10 vacuum() gained the age-guarded orphan sweep (ADVICE r09) —
+    # this key CALLS vacuum and asserts its removal count, so its code
+    # path changed; the other txlog keys ride the same TxTable class
+    # change (docstring-only for them, but re-witnessing the commit
+    # protocol after an edit to the module is cheap):
     "scan_txlog_snapshot_isolation",
-    "stream_txlog_sink",
+    "sink_txlog_acid",
+    "sink_txlog_conflict",
+    # r10 load_tables' session cache moved from id()-keys to a
+    # WeakKeyDictionary (every key funnels through it — one
+    # representative scan key witnesses the cache path directly):
+    "scan_parquet",
+    # r10 registry plan-store restructure (id() → weakref): one
+    # plan_cache=True representative witnesses the prepared-plan path:
+    "cdc_snapshot_diff",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
@@ -107,7 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's fixed-prefix check lands on the keys that need it most:
 
     tier 0: keys whose implementation changed since their last driver
-            row (_PROMOTED_R09) — their green rows are stale evidence;
+            row (_PROMOTED_R10) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
     tier 4: never-driver-checked keys in name order (16 remain after
@@ -119,7 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adds no evidence).
     """
     rank, last_pass = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R09)}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R10)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]

@@ -333,6 +333,16 @@ def main() -> None:
     # totals, per-key mins) and move spreads + sf1 per-key detail to the
     # BENCH_DETAIL.json sidecar.
     here = os.path.dirname(os.path.abspath(__file__))
+    # State-store A/B record (VERDICT r08 item 6 / r09 item 1): the A/B
+    # runs out-of-band (scripts/state_store_ab.py, ~1 h at sf10) and its
+    # committed sidecar is merged into the streaming block HERE so a
+    # routine bench.py re-run — which rewrites BENCH_DETAIL.json
+    # wholesale — can never erase the recorded numbers.
+    try:
+        with open(os.path.join(here, "STATE_STORE_AB.json")) as f:
+            out.setdefault("streaming", {})["state_store_ab"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(out, f, indent=1)
 

@@ -782,6 +782,22 @@ def test_pagerank_fact_pass_runs_once(spark, sf_dir):
     assert "SortMergeJoin" not in s, "iteration joins must stay broadcast-sized"
 
 
+def test_triangle_count_semi_closure_no_cartesian(spark, sf_dir):
+    """graph_triangle_count is the accepted flat-gap bench row (BENCH.md
+    r10 disposition) — acceptable only while the plan stays the canonical
+    oriented wedge-close: the closure probe must remain a SEMI join
+    (never a row-multiplying inner against the full edge list), there
+    must be no cartesian/nested-loop anywhere, and the per-block rollup
+    must have a map-side partial aggregate. Join PHYSICAL kinds are not
+    pinned — at fixture scale AQE broadcasts everything; at sf100 the
+    same logical plan runs SMJ — so the pin is the size-invariant part."""
+    s = _plan(spark, "graph_triangle_count", sf_dir)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "LeftSemi" in s, "the triangle closure must be a semi-join probe"
+    assert "HashAggregate" in s
+
+
 def test_cdc_chunk_dedup_is_hof_only(spark, sf_dir):
     """llm_cdc_chunk_dedup: boundary detection and chunk cutting must be
     JVM-side HOFs — no Python evaluation operator may appear — and the
