@@ -675,6 +675,36 @@ def test_plan_cache_is_prepared_statement_not_result_cache(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_session_caches_are_per_session(spark, sf_dir):
+    """r10 (VERDICT r09 item 7): the table cache and the prepared-plan
+    store are weakly keyed BY SESSION, so two live sessions must get
+    independent entries (the id()-keyed predecessors would also have
+    passed this for live sessions — the weakref part additionally
+    guarantees a dead session's slot can never be inherited, which is
+    untestable without forcing id reuse; this pins the keying contract
+    the fix rests on) and a second session's results must still be
+    correct, not borrowed plans bound to the first session."""
+    from engine import registry
+    from engine.io import load_tables
+
+    s2 = spark.newSession()
+    t1 = load_tables(spark, sf_dir)
+    t2 = load_tables(s2, sf_dir)
+    assert t1["orders"] is not t2["orders"], "table cache leaked across sessions"
+    # same session + same sf_dir still hits the cache (the whole point)
+    assert load_tables(spark, sf_dir)["orders"] is t1["orders"]
+    # prepared-plan store: one entry per session for a plan_cache key
+    fn = registry.QUERIES["cdc_snapshot_diff"]
+    d1, d2 = fn(spark, sf_dir), fn(s2, sf_dir)
+    store = registry._plan_store
+    assert (sf_dir, "cdc_snapshot_diff") in store.get(spark, {})
+    assert (sf_dir, "cdc_snapshot_diff") in store.get(s2, {})
+    assert store[spark][(sf_dir, "cdc_snapshot_diff")] is not store[s2][
+        (sf_dir, "cdc_snapshot_diff")
+    ], "plan store leaked across sessions"
+    assert d1.count() == d2.count() > 0
+
+
 def test_shuffle_partitions_tiers():
     """Pin the three regimes of shuffle_partitions_for: the small-fixture
     floor (8), the 2 MB/partition mid tier capped at cores (32), and the
