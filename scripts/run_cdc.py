@@ -43,12 +43,14 @@ Per-source lifecycle (exactly the reference's linear batch pipeline):
    extracts — full-outer join, I/U/D/N classification) or
    incremental_upsert (delta extracts — I/U only, deletes undetectable
    by definition);
-4. write the new current-state snapshot under
-   ``<output_root>/<name>/snapshot/run_date=<run-date>/`` and repoint
-   ``<output_root>/<name>/_LATEST`` (a one-line pointer file — readers
-   resolve the pointer, so a crashed run never half-replaces a
-   snapshot: the pointer flips only after the full write succeeds, the
-   same publish-then-point pattern as engine/txlog.py);
+4. write the new current-state snapshot into a hidden staging dir and
+   publish it under ``<output_root>/<name>/snapshot/run_date=<run-date>/``
+   by rename (never an in-place rewrite — a re-run of the day _LATEST
+   names must not expose a half-written dir to pointer-resolving
+   readers), then repoint ``<output_root>/<name>/_LATEST`` forward-only
+   (a one-line pointer file — the pointer flips only after the full
+   write succeeds, the same publish-then-point pattern as
+   engine/txlog.py);
 5. append the non-N changelog rows (op, key_hash, values, run_date)
    under ``<output_root>/<name>/changelog/run_date=<run-date>/``.
 
@@ -65,7 +67,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -195,7 +199,24 @@ def run_source(spark: SparkSession, root: str, src: dict, run_date: str) -> dict
     log_dir = os.path.join(root, spec.name, "changelog", f"run_date={run_date}")
     changes = changes.withColumn("run_date", F.lit(run_date))
     changes.write.mode("overwrite").parquet(log_dir)  # idempotent re-run
-    new_snapshot.write.mode("overwrite").parquet(snap_dir)
+    # Snapshot lands in a staging dir and is published by TWO renames,
+    # never an in-place rewrite: on a RE-run of the day _LATEST already
+    # names, an in-place overwrite would expose a half-written dir to
+    # every reader resolving the pointer for the full duration of the
+    # Spark write; the rename swap shrinks that window to two metadata
+    # ops (same publish-then-point discipline as engine/txlog.py, one
+    # level down). Staging dirs start with '.' so _snapshot_dates can
+    # never mistake one for a complete snapshot.
+    snap_parent = os.path.dirname(snap_dir)
+    staging = os.path.join(snap_parent, f".staging_{run_date}_{uuid.uuid4().hex[:8]}")
+    new_snapshot.write.mode("overwrite").parquet(staging)
+    displaced = None
+    if os.path.exists(snap_dir):
+        displaced = os.path.join(snap_parent, f".old_{run_date}_{uuid.uuid4().hex[:8]}")
+        os.rename(snap_dir, displaced)
+    os.rename(staging, snap_dir)
+    if displaced is not None:
+        shutil.rmtree(displaced, ignore_errors=True)
     # publish-then-point: the pointer flips only after both writes landed,
     # and only FORWARD — a re-run of an older date must not repoint
     # readers backwards past days that already ran (run_date= prefixes

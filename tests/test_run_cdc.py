@@ -222,6 +222,14 @@ def test_rerun_day_is_idempotent(spark, tmp_path, cli):
         assert open(os.path.join(out, name, "_LATEST")).read().endswith(
             "run_date=d2"
         ), "_LATEST must never move backwards"
+    # the rename-publish path leaves no staging/displaced dirs behind
+    for name in ("orders", "customer"):
+        leftovers = [
+            d
+            for d in os.listdir(os.path.join(out, name, "snapshot"))
+            if not d.startswith("run_date=")
+        ]
+        assert not leftovers, f"staging dirs leaked: {leftovers}"
 
 
 def test_cli_main_runs_from_config_file(spark, tmp_path, cli, monkeypatch):
