@@ -34,26 +34,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys whose implementation changed THIS round — their recorded driver
 # evidence is stale by construction, so they jump the queue regardless of
 # past green rows (the ADVICE-r05 staleness lesson: a changed key must
-# never coast on its old rank). The r09 list (all 7 re-passed their
-# driver rows in CORRECTNESS_r09) is retired; the 50-slot prefix's
-# spare tier-5 slots rotate the 32 keys whose newest evidence is r04
-# (VERDICT r09 item 5).
-_PROMOTED_R10 = [
-    # r10 vacuum() gained the age-guarded orphan sweep (ADVICE r09) —
-    # this key CALLS vacuum and asserts its removal count, so its code
-    # path changed; the other txlog keys ride the same TxTable class
-    # change (docstring-only for them, but re-witnessing the commit
-    # protocol after an edit to the module is cheap):
-    "scan_txlog_snapshot_isolation",
+# never coast on its old rank). The r10 list (all 5 re-passed their
+# driver rows in CORRECTNESS_r10) is retired.
+_PROMOTED_R11 = [
+    # r11 TxTable manifest format changed (ADVICE r10 medium): entries
+    # are now RELATIVE to data_dir and vacuum compares canonical paths —
+    # every key that writes/reads manifests or asserts vacuum counts
+    # exercises the new format end-to-end. This time the list includes
+    # stream_txlog_sink (ADVICE r10: it commits manifests through the
+    # same TxTable protocol and was inconsistently omitted in r10):
     "sink_txlog_acid",
+    "scan_txlog_snapshot_isolation",
     "sink_txlog_conflict",
-    # r10 load_tables' session cache moved from id()-keys to a
-    # WeakKeyDictionary (every key funnels through it — one
-    # representative scan key witnesses the cache path directly):
-    "scan_parquet",
-    # r10 registry plan-store restructure (id() → weakref): one
-    # plan_cache=True representative witnesses the prepared-plan path:
-    "cdc_snapshot_diff",
+    "stream_txlog_sink",
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
@@ -96,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's fixed-prefix check lands on the keys that need it most:
 
     tier 0: keys whose implementation changed since their last driver
-            row (_PROMOTED_R10) — their green rows are stale evidence;
+            row (_PROMOTED_R11) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
     tier 4: never-driver-checked keys in name order (16 remain after
@@ -108,7 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adds no evidence).
     """
     rank, last_pass = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R10)}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R11)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]

@@ -294,9 +294,15 @@ def get_spark(app: str = "engine", shuffle_partitions: int | None = None) -> Spa
 #: the session (r10, VERDICT r09 item 7 — third strike of the id()-reuse
 #: hazard class): an id()-keyed dict is never evicted, so a new session
 #: allocated at a dead session's address would inherit DataFrames bound
-#: to a dead JVM session. Note the cached DataFrames reference their
-#: session, so an entry lives exactly as long as its session — the point
-#: is that a NEW session can never collide with a dead one's entries.
+#: to a dead JVM session. HONEST SCOPE (r11, ADVICE r10): the cached
+#: DataFrames strongly reference their session, so entries are never
+#: actually evicted — this is safety-via-PINNING, not weak eviction (the
+#: documented WeakKeyDictionary value→key caveat). A cached session is
+#: kept alive for process life, so its id can never be reused by a new
+#: session; the cost is that every session ever cached keeps its JVM
+#: state until exit. Acceptable here: bench/tests/driver create 1-2
+#: sessions per process; a long-lived multi-session server would want
+#: an explicit cache.clear() on session stop instead.
 _tables_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )

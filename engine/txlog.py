@@ -88,6 +88,27 @@ class TxTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def _abs(self, f: str) -> str:
+        """Resolve a manifest file entry to an absolute path.
+
+        Manifests store paths RELATIVE to ``data_dir`` (r11, ADVICE r10
+        medium): absolute paths recorded at write time made the orphan
+        sweep destructive if the table was later opened via a different
+        path spelling — a symlinked mount, a relative-vs-absolute cwd, a
+        moved directory — because every committed file then failed the
+        exact-string ``in referenced`` check and aged into the drop set.
+        Delta stores paths relative to the table root for exactly this
+        reason. Absolute entries are legacy-manifest compat, resolved as
+        written."""
+        return f if os.path.isabs(f) else os.path.join(self.data_dir, f)
+
+    def _canon(self, f: str) -> str:
+        """Canonical absolute form for identity comparisons (vacuum):
+        realpath collapses symlinks/`..`/duplicate-slash spellings so a
+        file is referenced iff it IS a manifest entry's file, however
+        either side was spelled."""
+        return os.path.realpath(self._abs(f))
+
     def ops(self) -> list[str]:
         return [self.manifest(v)["op"] for v in self.versions()]
 
@@ -131,8 +152,9 @@ class TxTable:
         # manifest file-count contract would depend on the reader's split
         # arithmetic rather than on this writer
         df.repartition(n_files).write.mode("overwrite").parquet(out)
+        # manifest entries are RELATIVE to data_dir — see _abs()
         return [
-            os.path.join(out, f)
+            os.path.relpath(os.path.join(out, f), self.data_dir)
             for f in os.listdir(out)
             if f.endswith(".parquet")
         ]
@@ -144,7 +166,7 @@ class TxTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.versions()[-1] if version is None else version
-        files = self.manifest(v)["files"]
+        files = [self._abs(f) for f in self.manifest(v)["files"]]
         return self.spark.read.parquet(*files)
 
     def stage_merge(self, updates: DataFrame, key: str, n_files: int = 4) -> tuple[int, list[str]]:
@@ -222,17 +244,26 @@ class TxTable:
            the file mtime so an IN-FLIGHT transaction's staging dir —
            written before its commit point — is never swept mid-write;
            Delta's VACUUM uses the same mtime-retention defense.
+
+        All identity comparisons are on CANONICAL paths (``_canon``:
+        relative-manifest entry resolved against data_dir, then
+        realpath) — r11, ADVICE r10: with exact string matching, a
+        table opened via a different path spelling would see every
+        committed file fail the ``in referenced`` check and DELETE the
+        whole table once past the grace. Returns the number of files
+        actually removed (successful ``os.remove`` only — a swallowed
+        removal failure must not inflate the count callers assert on).
         """
         vs = self.versions()
         retained = set(vs[-retain_last:])
         keep: set[str] = set()
         for v in retained:
-            keep.update(self.manifest(v)["files"])
+            keep.update(self._canon(f) for f in self.manifest(v)["files"])
         referenced: set[str] = set(keep)
         drop: set[str] = set()
         for v in vs:
             if v not in retained:
-                files = set(self.manifest(v)["files"])
+                files = {self._canon(f) for f in self.manifest(v)["files"]}
                 drop.update(files - keep)
                 referenced.update(files)
         cutoff = time.time() - orphan_grace_sec
@@ -240,7 +271,7 @@ class TxTable:
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
-                full = os.path.join(dirpath, name)
+                full = os.path.realpath(os.path.join(dirpath, name))
                 if full in referenced:
                     continue
                 try:
@@ -248,9 +279,11 @@ class TxTable:
                         drop.add(full)
                 except OSError:
                     continue  # raced with another cleanup — already gone
+        removed = 0
         for f in drop:
             try:
                 os.remove(f)
+                removed += 1
             except OSError:
                 pass
         # best-effort: remove staging dirs emptied of parquet (their
@@ -277,7 +310,7 @@ class TxTable:
                     os.rmdir(dp)
             except OSError:
                 continue
-        return len(drop)
+        return removed
 
 
 _CHECKSUM = "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"

@@ -69,6 +69,7 @@ import json
 import os
 import shutil
 import sys
+import time
 import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -110,12 +111,57 @@ def _latest_pointer(root: str, name: str) -> str:
 
 
 def _resolve_latest(root: str, name: str) -> str | None:
+    """The snapshot readers should use: the _LATEST pointer when it
+    names a COMPLETE snapshot, else the newest complete snapshot on
+    disk (r11, ADVICE r10): a crash between the publish's two renames
+    leaves no dir at the path _LATEST names — readers following the
+    pointer blindly would error on a table that has perfectly good
+    older snapshots. The _SUCCESS check also shields readers from a
+    pointer that somehow names a torn dir (it never should — the
+    pointer flips after the write — but the reader is the last line)."""
     p = _latest_pointer(root, name)
-    if not os.path.exists(p):
+    snap = None
+    if os.path.exists(p):
+        with open(p) as fh:
+            snap = fh.read().strip() or None
+    if snap is not None and os.path.exists(os.path.join(snap, "_SUCCESS")):
+        return snap
+    dates = _snapshot_dates(root, name)
+    if not dates:
         return None
-    with open(p) as fh:
-        snap = fh.read().strip()
-    return snap or None
+    return os.path.join(root, name, "snapshot", f"run_date={dates[-1]}")
+
+
+#: stale staging/displaced dirs older than this are reclaimed on the next
+#: run of the source. Generous: a staging dir is live only for the
+#: duration of one Spark write + two renames, so a day-old one can only
+#: be a crash leftover.
+_STALE_DIR_GRACE_SEC = 86400.0
+
+
+def _sweep_stale_dirs(root: str, name: str, grace_sec: float = _STALE_DIR_GRACE_SEC) -> int:
+    """Crash hygiene on entry to run_source (r11, ADVICE r10): a crash
+    after the staging write (or during the displaced-dir rmtree) leaks
+    `.staging_*` / `.old_*` dirs that no later run would ever clean —
+    each one a full snapshot copy. Age-guarded by dir mtime, mirroring
+    txlog.vacuum()'s orphan sweep, so a CONCURRENT run's in-flight
+    staging dir is never swept mid-write. Returns the count removed."""
+    snap_root = os.path.join(root, name, "snapshot")
+    if not os.path.isdir(snap_root):
+        return 0
+    cutoff = time.time() - grace_sec
+    swept = 0
+    for d in os.listdir(snap_root):
+        if not (d.startswith(".staging_") or d.startswith(".old_")):
+            continue
+        full = os.path.join(snap_root, d)
+        try:
+            if os.path.isdir(full) and os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                swept += 1
+        except OSError:
+            continue  # raced with another sweep — already gone
+    return swept
 
 
 def _snapshot_dates(root: str, name: str) -> list[str]:
@@ -154,6 +200,7 @@ def _resolve_prev(root: str, name: str, run_date: str) -> str | None:
 
 
 def run_source(spark: SparkSession, root: str, src: dict, run_date: str) -> dict:
+    _sweep_stale_dirs(root, src["name"])
     spec = SourceSpec(
         name=src["name"],
         key_cols=tuple(src["key_cols"]),

@@ -9,6 +9,8 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -230,6 +232,76 @@ def test_rerun_day_is_idempotent(spark, tmp_path, cli):
             if not d.startswith("run_date=")
         ]
         assert not leftovers, f"staging dirs leaked: {leftovers}"
+
+
+def test_crash_window_recovery(spark, tmp_path, cli):
+    """VERDICT r10 item 5 + ADVICE r10: the publish-then-point pattern's
+    crash windows, simulated by reproducing each window's on-disk state
+    and asserting (a) pointer-resolving readers never see a half-published
+    day, (b) a re-run recovers cleanly, (c) crash leftovers are reclaimed
+    age-guarded on the next run instead of leaking forever."""
+    base, out = str(tmp_path / "extracts"), str(tmp_path / "cdc_out")
+    _write_extracts(spark, base)
+    src = _config(base, out)["sources"][0]  # orders, full extracts
+    cli.run_source(spark, out, src, "d1")
+    first = cli.run_source(spark, out, src, "d2")
+    snap_root = os.path.join(out, "orders", "snapshot")
+    aged = time.time() - 2 * cli._STALE_DIR_GRACE_SEC
+
+    # --- window A: process died after the staging write, before any
+    # rename — a .staging_* dir (and a .old_* from a died-mid-rmtree
+    # re-run) sit on disk with no owner.
+    stale_staging = os.path.join(snap_root, ".staging_d2_deadbeef")
+    stale_old = os.path.join(snap_root, ".old_d2_cafef00d")
+    for d in (stale_staging, stale_old):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+        os.utime(d, (aged, aged))
+    # hidden dirs are never mistaken for snapshots (reader invariant)
+    assert set(cli._snapshot_dates(out, "orders")) == {"d1", "d2"}
+    # a YOUNG staging dir — indistinguishable from a concurrent run's
+    # in-flight write — must survive the sweep
+    young = os.path.join(snap_root, ".staging_d2_12345678")
+    os.makedirs(young)
+    second = cli.run_source(spark, out, src, "d2")  # re-run recovers
+    assert second["counts"] == first["counts"]
+    assert not os.path.exists(stale_staging), "aged staging dir must be swept"
+    assert not os.path.exists(stale_old), "aged displaced dir must be swept"
+    assert os.path.isdir(young), "in-flight-age staging dir must survive"
+    shutil.rmtree(young)
+
+    # --- window B: died between the two renames — the day's snapshot
+    # dir is GONE (displaced, replacement never landed) while _LATEST
+    # still names it.
+    d2_dir = os.path.join(snap_root, "run_date=d2")
+    displaced = os.path.join(snap_root, ".old_d2_00000000")
+    os.rename(d2_dir, displaced)
+    os.utime(displaced, (aged, aged))
+    ptr = open(os.path.join(out, "orders", "_LATEST")).read().strip()
+    assert ptr.endswith("run_date=d2") and not os.path.exists(ptr)
+    # readers fall back to the newest COMPLETE snapshot, never error
+    resolved = cli._resolve_latest(out, "orders")
+    assert resolved.endswith("run_date=d1")
+    assert os.path.exists(os.path.join(resolved, "_SUCCESS"))
+    # the re-run heals: original diff recomputed, snapshot republished,
+    # pointer valid again, crash leftover reclaimed
+    third = cli.run_source(spark, out, src, "d2")
+    assert third["counts"] == first["counts"]
+    assert cli._resolve_latest(out, "orders").endswith("run_date=d2")
+    assert os.path.exists(os.path.join(d2_dir, "_SUCCESS"))
+    assert not os.path.exists(displaced)
+
+    # --- window C: a torn snapshot dir (no _SUCCESS) that _LATEST
+    # somehow names — the reader-side guard is the last line of defense.
+    torn = os.path.join(snap_root, "run_date=d3")
+    os.makedirs(torn)
+    with open(os.path.join(out, "orders", "_LATEST"), "w") as fh:
+        fh.write(torn)
+    assert cli._resolve_latest(out, "orders").endswith("run_date=d2")
+    assert "d3" not in cli._snapshot_dates(out, "orders")
+    # and diff-base resolution for a later day skips the torn dir too
+    assert cli._resolve_prev(out, "orders", "d4").endswith("run_date=d2")
 
 
 def test_cli_main_runs_from_config_file(spark, tmp_path, cli, monkeypatch):

@@ -126,17 +126,16 @@ def test_orphaned_staged_files_invisible_and_reclaimable(spark, orders_small, tm
     t.merge(upd.withColumn("o_totalprice", F.lit(1.0)), "o_orderkey")  # wins v1
     with pytest.raises(CommitConflict):
         t._commit(staged, "MERGE#stale", expected_version=target)
-    referenced: set[str] = set()
-    for v in t.versions():
-        referenced.update(t.manifest(v)["files"])
+    referenced = {t._abs(f) for v in t.versions() for f in t.manifest(v)["files"]}
+    staged_abs = {t._abs(f) for f in staged}
     on_disk = {
         os.path.join(dp, f)
         for dp, _, fs in os.walk(t.data_dir)
         for f in fs
         if f.endswith(".parquet")
     }
-    assert not (set(staged) & referenced)
-    assert on_disk - referenced == set(staged), "only the orphans may dangle"
+    assert not (staged_abs & referenced)
+    assert on_disk - referenced == staged_abs, "only the orphans may dangle"
 
 
 def test_vacuum_reclaims_conflict_orphans(spark, orders_small, tmp_path):
@@ -157,19 +156,53 @@ def test_vacuum_reclaims_conflict_orphans(spark, orders_small, tmp_path):
     # default grace (24 h): fresh orphans are in-flight-indistinguishable
     # and must survive; all manifests retained → manifest sweep drops 0
     assert t.vacuum(retain_last=10) == 0
-    assert all(os.path.exists(f) for f in staged), "young orphans must survive"
+    assert all(os.path.exists(t._abs(f)) for f in staged), "young orphans must survive"
     # grace elapsed: exactly the orphans go, nothing referenced goes
     removed = t.vacuum(retain_last=10, orphan_grace_sec=0.0)
     assert removed == len(staged)
-    assert not any(os.path.exists(f) for f in staged)
+    assert not any(os.path.exists(t._abs(f)) for f in staged)
     for v in t.versions():
-        assert all(os.path.exists(f) for f in t.manifest(v)["files"])
+        assert all(os.path.exists(t._abs(f)) for f in t.manifest(v)["files"])
     assert t.read().count() == orders_small.count()
     # second pass reclaims the now-parquet-free staging dir (dir mtime
     # was bumped by the removals, so it ages out one vacuum later)
     t.vacuum(retain_last=10, orphan_grace_sec=0.0)
-    staged_dirs = {os.path.dirname(f) for f in staged}
+    staged_dirs = {os.path.dirname(t._abs(f)) for f in staged}
     assert not any(os.path.isdir(d) for d in staged_dirs)
+
+
+def test_vacuum_safe_under_alternate_path_spelling(spark, orders_small, tmp_path):
+    """ADVICE r10 (medium): manifests used to record ABSOLUTE paths at
+    write time, so a table later opened via a different path spelling
+    (symlinked dir, trailing slash, `..` segments) failed the exact
+    string `walked in referenced` check for EVERY committed file — and
+    the r10 orphan sweep then deleted the whole table once past the
+    grace. Manifests are now relative to data_dir and vacuum compares
+    canonical (realpath) identities, so a zero-grace vacuum through a
+    symlink spelling must reclaim NOTHING that any manifest references."""
+    real = tmp_path / "tbl"
+    t = TxTable(spark, str(real))
+    t.create(orders_small, n_files=2)
+    t.merge(
+        orders_small.limit(10).withColumn("o_totalprice", F.lit(1.0)),
+        "o_orderkey",
+    )  # v1: v0's files become reclaimable only if v0 is NOT retained
+    link = tmp_path / "tbl_link"
+    os.symlink(real, link)
+    for spelling in (
+        str(link),
+        str(real) + os.sep,
+        os.path.join(str(tmp_path), "x", "..", "tbl"),
+    ):
+        alias = TxTable(spark, spelling)
+        assert alias.vacuum(retain_last=10, orphan_grace_sec=0.0) == 0, spelling
+        for v in alias.versions():
+            assert all(os.path.exists(alias._abs(f)) for f in alias.manifest(v)["files"])
+        assert alias.read().count() == orders_small.count()
+    # and the sweep still WORKS through an alias: drop v0, keep v1 only
+    alias = TxTable(spark, str(link))
+    assert alias.vacuum(retain_last=1, orphan_grace_sec=0.0) == 2
+    assert t.read().count() == orders_small.count()
 
 
 def test_two_process_commit_race(tmp_path):
