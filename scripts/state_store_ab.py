@@ -33,9 +33,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KEYS = ["stream_timeout_sessions", "stream_stream_join", "stream_watermark_late"]
 
+_HDFS = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+_ROCKS = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+_CHANGELOG = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+#: provider variant → (providerClass, extra sticky confs). The changelog
+#: variant (r11, VERDICT r10 item 2) measures the claimed mitigation for
+#: RocksDB's write-heavy commit cost: per-batch commit uploads the DELTA
+#: changelog instead of a full snapshot (snapshots move to an async
+#: background maintenance task), which is where the sf10 join's 1 599 s
+#: commit total was going. Plain rocksdb pins the conf false explicitly
+#: so variant order can never leak state between runs.
 PROVIDERS = {
-    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "hdfs": (_HDFS, {}),
+    "rocksdb": (_ROCKS, {_CHANGELOG: "false"}),
+    "rocksdb_changelog": (_ROCKS, {_CHANGELOG: "true"}),
 }
 
 
@@ -47,9 +59,23 @@ def main() -> None:
     )
     ap.add_argument("sf_dirs", nargs="*", help="fixture dirs (default /tmp/engine_sf1)")
     ap.add_argument("--reps", type=int, default=3, help="wall-clock reps per (provider, key)")
+    ap.add_argument(
+        "--keys", default=",".join(KEYS),
+        help="comma-separated registry keys (default: the three A/B shapes)",
+    )
+    ap.add_argument(
+        "--providers", default="hdfs,rocksdb",
+        help=f"comma-separated variants from {sorted(PROVIDERS)} "
+        "(rocksdb_changelog = RocksDB + changelog checkpointing)",
+    )
     ns = ap.parse_args()
     reps = ns.reps
     dirs = ns.sf_dirs or ["/tmp/engine_sf1"]
+    keys = [k for k in ns.keys.split(",") if k]
+    provider_names = [p for p in ns.providers.split(",") if p]
+    unknown = set(provider_names) - set(PROVIDERS)
+    if unknown:
+        ap.error(f"unknown providers: {sorted(unknown)}")
 
     from pyspark.sql.streaming import StreamingQueryListener
 
@@ -101,12 +127,14 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         listener = Progress()
         spark.streams.addListener(listener)
-        for prov_name, prov_cls in PROVIDERS.items():
+        for prov_name in provider_names:
+            prov_cls, extra = PROVIDERS[prov_name]
             # sticky override: survives load_tables' configure() re-applies
             set_conf_overrides(
-                spark, {"spark.sql.streaming.stateStore.providerClass": prov_cls}
+                spark,
+                {"spark.sql.streaming.stateStore.providerClass": prov_cls, **extra},
             )
-            for key in KEYS:
+            for key in keys:
                 fn = registry.QUERIES[key]
                 walls = []
                 for _ in range(reps):
