@@ -669,7 +669,10 @@ def _band_ids_udf():
 
     @F.pandas_udf("array<int>")
     def band_ids(embs: pd.Series) -> pd.Series:
-        m = np.vstack(embs.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        # one vectorized stack + upcast (r11): vstack of the float32 cells
+        # then a single astype — identical doubles to the old per-row
+        # Series.apply(np.asarray) path, without n Python-level calls
+        m = np.vstack(embs.to_numpy()).astype(np.float64, copy=False)
         bits = (m @ mat) > 0
         weights = 1 << np.arange(w)
         ids = np.stack(
@@ -681,7 +684,16 @@ def _band_ids_udf():
         )
         return pd.Series(list(ids.astype("int32")))
 
-    return band_ids
+    # asNondeterministic (guide §4.4, r11): posexplode's implied
+    # (size(bands) > 0 AND isnotnull) filter was pushed BELOW the melt
+    # projection, duplicating the ArrowEvalPython node — every embedding
+    # crossed the Arrow boundary and paid the matmul twice (verified in
+    # the r11 before-plans: two ArrowEvalPython nodes for one UDF). The
+    # function is semantically deterministic; the flag only forbids the
+    # optimizer from re-evaluating it, which is exactly what we want —
+    # nothing else needs to push past it (the scan reads only
+    # vec_id + embedding either way).
+    return band_ids.asNondeterministic()
 
 
 #: Skew guard: buckets larger than this are dropped from candidate
@@ -694,20 +706,35 @@ def _band_ids_udf():
 #: It also bounds _banded_tau_pairs' per-group matmul block (≤512×512).
 _BUCKET_CAP = 512
 
+#: llm_dedup_clusters' driver-finish threshold (edges): once the CONTRACTED
+#: supernode graph fits under this constant, the residue is union-found on
+#: the driver (see the key's docstring). Module-level so tests can force
+#: the distributed-rounds path on fixture-sized graphs (threshold 0) and
+#: assert it reaches the identical component-min fixpoint.
+_FINISH_THRESHOLD = 65536
 
-def _banded_melt(e: DataFrame) -> DataFrame:
-    """(vec_id, band, bv): every vector's band ids in one vectorized pass,
-    posexploded to the long form the per-bucket verifier consumes.
+
+def _banded_melt(e: DataFrame, with_embedding: bool = False) -> DataFrame:
+    """(vec_id[, embedding], band, bv): every vector's band ids in one
+    vectorized pass, posexploded to the long form the per-bucket verifier
+    consumes.
 
     The _BUCKET_CAP guard is NOT applied here (r03): it used to be a
     groupBy-count + broadcast-join pre-filter, which shuffled every melt
     row once to count it and once again into the verification groups.
     The verifier groups by (band, bv) anyway, so the cap check moved
-    inside the applyInPandas block (_banded_tau_pairs drops over-full
+    inside the per-bucket block (_banded_tau_pairs drops over-full
     groups on arrival) — identical candidate set, one exchange instead
-    of two on the melt."""
-    ids = e.select("vec_id", _band_ids_udf()("embedding").alias("bands"))
-    return ids.select("vec_id", F.posexplode("bands").alias("band", "bv"))
+    of two on the melt.
+
+    ``with_embedding`` carries the raw vector through the posexplode so
+    the verifier needs no join back onto the corpus (r11): the exploded
+    rows ship the same bytes into the (band, bv) exchange either way,
+    and dropping the join removes a broadcast build + hash probe over
+    every melt row (measured part of the sf1 verify cost)."""
+    cols = ["vec_id"] + (["embedding"] if with_embedding else [])
+    ids = e.select(*cols, _band_ids_udf()("embedding").alias("bands"))
+    return ids.select(*cols, F.posexplode("bands").alias("band", "bv"))
 
 
 @query(
@@ -808,40 +835,65 @@ def _banded_tau_pairs(e: DataFrame) -> DataFrame:
     group can blow worker memory. Cross-band duplicate pairs collapse via
     groupBy min(cos) — the same pair's cosine can differ in final ulps
     between bands' matmul blockings, min makes the survivor
-    deterministic; at 6dp rounding the variants agree anyway."""
+    deterministic; at 6dp rounding the variants agree anyway.
+
+    r11 physical rework (guide §4.2, output-identical): the verifier is
+    ``applyInArrow`` instead of ``applyInPandas``, and the embedding
+    rides the melt instead of joining back on. The pandas form converted
+    every (vector, band) cell list→ndarray one row at a time
+    (``Series.apply(np.asarray)``) — at sf1 that is 400k per-row Python
+    conversions and was the bulk of the verify stage (measured: verify
+    ~12.8 s of the 17 s pair pass). The Arrow form flattens each group's
+    list column with ONE zero-copy buffer view (offsets-checked) and
+    reshapes; the float32→float64 upcast, row ordering, normalization
+    and matmul are bit-identical to the pandas form, so the pair set and
+    cosines are unchanged (same oracle)."""
     import numpy as np
+    import pyarrow as pa
 
-    m = _banded_melt(e).join(e.select("vec_id", "embedding"), "vec_id")
+    m = _banded_melt(e, with_embedding=True)
     tau = _NEAR_DUP_TAU
+    _empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
+    def bucket_pairs(tbl: "pa.Table") -> "pa.Table":
+        ids = tbl.column("vec_id").to_numpy()
+        n = len(ids)
         # _BUCKET_CAP skew guard, applied on group arrival (see
         # _banded_melt): an over-full bucket is all false candidates
-        if len(ids) > _BUCKET_CAP or len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-            )
-        mat = np.vstack(
-            pdf["embedding"].iloc[order].apply(
-                lambda a: np.asarray(a, dtype=np.float64)
-            )
+        if n > _BUCKET_CAP or n < 2:
+            return _empty
+        emb = tbl.column("embedding").combine_chunks()
+        lens = np.diff(emb.offsets.to_numpy())
+        if not (lens == lens[0]).all():  # ragged input must fail loudly
+            raise ValueError(f"ragged embedding lengths in bucket: {set(lens)}")
+        mat = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+            .reshape(n, -1)
         )
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = mat[order]
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         c = mat @ mat.T
-        iu = np.triu_indices(len(ids), k=1)
+        iu = np.triu_indices(n, k=1)
         keep = c[iu] >= tau
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": ids[iu[0][keep]],
-                "id_b": ids[iu[1][keep]],
-                "cos": c[iu][keep],
+                "id_a": pa.array(ids[iu[0][keep]], pa.int64()),
+                "id_b": pa.array(ids[iu[1][keep]], pa.int64()),
+                "cos": pa.array(c[iu][keep], pa.float64()),
             }
         )
 
-    pairs = m.groupBy("band", "bv").applyInPandas(
+    pairs = m.groupBy("band", "bv").applyInArrow(
         bucket_pairs, "id_a long, id_b long, cos double"
     )
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos").alias("cos"))
@@ -962,74 +1014,122 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final label map back. The collect is bounded by the threshold (64k
     # edges ≈ 1 MB), NOT by data scale; at 100 TB the distributed rounds
     # still do all the volume work.
-    finish_threshold = 65536
+    finish_threshold = _FINISH_THRESHOLD
     rounds = 0
-    while True:
-        n_edges = ec.count()
-        if n_edges == 0:
-            break
-        if n_edges <= finish_threshold:
-            # residual supernode graph: driver union-find, component-min
-            # labels (identical fixpoint to running contraction to the end)
-            parent: dict = {}
+    # r11 round-cost rework (guide §2.2/§2.4, label algebra unchanged):
+    #  - `mins` is EAGER-CHECKPOINTED once per round — it feeds three
+    #    consumers (the labels update and both sides of the edge rewrite),
+    #    which re-ran the neighborhood-min aggregation up to 3× per round
+    #    (measured sf1: labels 3.2→1.1 s, rewrite 3.7→1.6 s once shared);
+    #  - `labels` is NO LONGER checkpointed per round: nothing inside the
+    #    loop consumes it, so the per-round left-join chain (against the
+    #    checkpointed mins) evaluates ONCE at the caller's action instead
+    #    of materializing |V| rows every round (one fewer job + write per
+    #    round). Deep graphs re-truncate every 8 rounds so the chain stays
+    #    bounded;
+    #  - the contraction tail's shuffles are sized to the EDGE bytes, not
+    #    the corpus: the session's partition count is scaled for the
+    #    corpus-wide scans, but from round 1 the loop only moves the
+    #    (shrinking) 16 B/row edge list — ~1M edges per reduce partition
+    #    is the 100 TB doctrine (§2.2: 100 MB-1 GB per partition) applied
+    #    to rows this narrow, and it holds at any scale because the count
+    #    is re-derived per round from the measured n_edges. Restored in
+    #    the finally so no other key inherits the tail sizing; the final
+    #    labels evaluation (corpus-scaled, one row per clustered vector)
+    #    runs at the session's own partitioning.
+    conf = labels.sparkSession.conf
+    sess_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        while True:
+            n_edges = ec.count()
+            if n_edges == 0:
+                break
+            if n_edges <= finish_threshold:
+                # residual supernode graph: driver union-find, component-min
+                # labels (identical fixpoint to running contraction to the end)
+                parent: dict = {}
 
-            def find(x: int) -> int:
-                while parent.get(x, x) != x:
-                    parent[x] = parent.get(parent[x], parent[x])
-                    x = parent[x]
-                return x
+                def find(x: int) -> int:
+                    while parent.get(x, x) != x:
+                        parent[x] = parent.get(parent[x], parent[x])
+                        x = parent[x]
+                    return x
 
-            for u, v in ec.collect():
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    # union by min so every root IS its component min
-                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                    parent[hi] = lo
-            fin = [(x, find(x)) for x in list(parent)]
-            fmap = labels.sparkSession.createDataFrame(
-                fin, "lbl_in: long, lbl_out: long"
+                for u, v in ec.collect():
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        # union by min so every root IS its component min
+                        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                        parent[hi] = lo
+                fin = [(x, find(x)) for x in list(parent)]
+                fmap = labels.sparkSession.createDataFrame(
+                    fin, "lbl_in: long, lbl_out: long"
+                )
+                labels = labels.join(
+                    F.broadcast(fmap), labels["lbl"] == fmap["lbl_in"], "left"
+                ).select(
+                    labels["id"], F.coalesce(fmap["lbl_out"], labels["lbl"]).alias("lbl")
+                )
+                break
+            rounds += 1
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(int(sess_parts), n_edges // 1_000_000 + 1))),
+            )
+            sym = ec.unionByName(
+                ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            # min over the closed neighborhood of each (super)node, shared
+            # by the three consumers below (checkpoint: see loop note)
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("m"))
+                .select("u", F.least("u", "m").alias("m"))
+                .localCheckpoint(eager=True)
+            )
+            # mins is materialized, so its row count is a cheap metadata
+            # job — when the (supernode → new label) map fits comfortably
+            # in a broadcast (≤1M rows ≈ 16 MB), hint it on all three
+            # joins below: the labels chain and the edge rewrite then
+            # probe map-side instead of sort-merge-shuffling their big
+            # side per round. Guarded by the MEASURED count (never by the
+            # corpus), so at scale early rounds shuffle and only the
+            # shrunken tail broadcasts — the AQE decision, made with real
+            # numbers at any scale (AQE itself is input-size-gated off on
+            # the small fixtures).
+            bcast_map = mins.count() <= 1_000_000
+            hint = F.broadcast if bcast_map else (lambda df: df)
+            # original vertices follow their supernode's new label; nodes whose
+            # supernode already finished (isolated → absent from ec/mins) keep
+            # their final label via the left join's coalesce. Unique column
+            # names + by-name resolution: the lazy labels chain holds every
+            # prior round's mins subtree, so positional DataFrame["col"]
+            # references trip the ambiguous-self-join detector here.
+            lblmap = hint(
+                mins.select(F.col("u").alias("_lu"), F.col("m").alias("_lm"))
             )
             labels = labels.join(
-                F.broadcast(fmap), labels["lbl"] == fmap["lbl_in"], "left"
-            ).select(
-                labels["id"], F.coalesce(fmap["lbl_out"], labels["lbl"]).alias("lbl")
+                lblmap, F.col("lbl") == F.col("_lu"), "left"
+            ).select(F.col("id"), F.coalesce(F.col("_lm"), F.col("lbl")).alias("lbl"))
+            if rounds % 8 == 0:  # bound the lazy join chain on deep graphs
+                labels = labels.localCheckpoint(eager=True)
+            # contract: rewrite edges through the new labels; duplicates
+            # collapse and self-loops vanish, so |ec| is non-increasing and
+            # components merge geometrically
+            mu = hint(mins.select(F.col("u").alias("u"), F.col("m").alias("mu")))
+            mv = hint(mins.select(F.col("u").alias("v"), F.col("m").alias("mv")))
+            ec = (
+                ec.join(mu, "u")
+                .join(mv, "v")
+                .select(
+                    F.least("mu", "mv").alias("u"), F.greatest("mu", "mv").alias("v")
+                )
+                .where(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
             )
-            break
-        rounds += 1
-        sym = ec.unionByName(
-            ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        # min over the closed neighborhood of each (super)node
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("m"))
-            .select("u", F.least("u", "m").alias("m"))
-        )
-        # original vertices follow their supernode's new label; nodes whose
-        # supernode already finished (isolated → absent from ec/mins) keep
-        # their final label via the left join's coalesce
-        labels = (
-            labels.join(mins, labels["lbl"] == mins["u"], "left")
-            .select(
-                labels["id"], F.coalesce(mins["m"], labels["lbl"]).alias("lbl")
-            )
-            .localCheckpoint(eager=True)
-        )
-        # contract: rewrite edges through the new labels; duplicates
-        # collapse and self-loops vanish, so |ec| is non-increasing and
-        # components merge geometrically
-        mu = mins.select(F.col("u").alias("u"), F.col("m").alias("mu"))
-        mv = mins.select(F.col("u").alias("v"), F.col("m").alias("mv"))
-        ec = (
-            ec.join(mu, "u")
-            .join(mv, "v")
-            .select(
-                F.least("mu", "mv").alias("u"), F.greatest("mu", "mv").alias("v")
-            )
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", sess_parts)
     # telemetry, not result: round count is the quantity that regresses if
     # a bigger corpus produces deeper dup chains (bench.py reports it, the
     # oracle-compared schema stays unchanged)
@@ -1283,33 +1383,52 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", F.col("c_label").alias("cell"))
     )
     tau = _NEAR_DUP_TAU
+    # applyInArrow (r11, same rework as _banded_tau_pairs): one zero-copy
+    # flatten per cell instead of a per-row list→ndarray conversion; the
+    # float math is bit-identical so verdicts (and the oracle) are unchanged
+    import pyarrow as pa
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
+    _empty = pa.table(
+        {
+            "ida": pa.array([], pa.int64()),
+            "idb": pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int32()),
+        }
+    )
+
+    def cell_pairs(tbl: "pa.Table") -> "pa.Table":
+        ids = tbl.column("vec_id").to_numpy()
+        n = len(ids)
+        if n < 2:
+            return _empty
+        emb = tbl.column("embedding").combine_chunks()
+        lens = np.diff(emb.offsets.to_numpy())
+        if not (lens == lens[0]).all():  # ragged input must fail loudly
+            raise ValueError(f"ragged embedding lengths in cell: {set(lens)}")
+        mat = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+            .reshape(n, -1)
+        )
         order = np.argsort(ids)
         ids = ids[order]
-        if len(ids) < 2:
-            return pd.DataFrame({"ida": [], "idb": [], "cell": []}).astype(
-                {"ida": "int64", "idb": "int64", "cell": "int32"}
-            )
-        mat = np.vstack(
-            pdf["embedding"].iloc[order].apply(
-                lambda a: np.asarray(a, dtype=np.float64)
-            )
-        )
+        mat = mat[order]
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         c = mat @ mat.T
-        iu = np.triu_indices(len(ids), k=1)
+        iu = np.triu_indices(n, k=1)
         keep = c[iu] >= tau
-        return pd.DataFrame(
+        cell0 = tbl.column("cell")[0].as_py()
+        nkeep = int(keep.sum())
+        return pa.table(
             {
-                "ida": ids[iu[0][keep]],
-                "idb": ids[iu[1][keep]],
-                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0], dtype="int32"),
+                "ida": pa.array(ids[iu[0][keep]], pa.int64()),
+                "idb": pa.array(ids[iu[1][keep]], pa.int64()),
+                "cell": pa.array(np.full(nkeep, cell0, dtype="int32"), pa.int32()),
             }
         )
 
-    pairs = assign.groupBy("cell").applyInPandas(
+    pairs = assign.groupBy("cell").applyInArrow(
         cell_pairs, "ida long, idb long, cell int"
     )
     return pairs.groupBy(F.col("idb").alias("drop_id")).agg(

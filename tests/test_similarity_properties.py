@@ -105,3 +105,24 @@ def test_clustered_ann_recall_at_operating_point(spark, sf_dir):
         row = QUERIES[key](spark, sf_dir).select("recall", "scan_frac").first()
         assert row.recall >= 0.9, f"{key}: recall {row.recall} < 0.9"
         assert row.scan_frac <= 0.05, f"{key}: scan {row.scan_frac} > 5%"
+
+
+def test_dedup_clusters_distributed_rounds_match_driver_finish(spark, sf_dir, monkeypatch):
+    """r11 loop rework pin: the contraction loop's distributed-rounds path
+    (lazy labels chain, per-round checkpointed mins, measured broadcast
+    hints, edge-sized tail shuffles) must reach the IDENTICAL
+    component-min fixpoint as the driver union-find finish. The fixture
+    graph sits under the 64k-edge threshold, so the default run exits on
+    round 0; forcing the threshold to 0 makes every round run distributed
+    — the two label sets must be row-identical (labels are
+    algorithm-invariant: per-vertex component minimum)."""
+    from engine import similarity
+
+    key = QUERIES["llm_dedup_clusters"]
+    base = {(r.vec_id, r.cluster_id) for r in key(spark, sf_dir).collect()}
+    monkeypatch.setattr(similarity, "_FINISH_THRESHOLD", 0)
+    forced = {(r.vec_id, r.cluster_id) for r in key(spark, sf_dir).collect()}
+    assert similarity.LAST_PROPAGATION_ROUNDS > 0, "forced path did not run rounds"
+    assert forced == base
+    # the loop must restore the session's shuffle partitioning
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
