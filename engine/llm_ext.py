@@ -109,6 +109,10 @@ def lloyd_fit(e: DataFrame, k: int, iters: int):
         # cross the wire; folding both into one c-partitioned pass would
         # shuffle the raw exploded rows (n×dim) — strictly worse at
         # scale. The second exchange moves 512 rows; bounded at any n.
+        # (r11 A/B kept this form: a 64-wide-avg single aggregate — the
+        # llm_centroids shape — measured SLOWER here, 1.52 vs 1.07 s
+        # same-session at sf0.1, because the agg input is a joined,
+        # cast-transformed relation rather than a raw scan.)
         cq = (
             assign.join(ev, "vec_id")
             .select("c", F.posexplode("v").alias("pos", "val"))
@@ -121,14 +125,22 @@ def lloyd_fit(e: DataFrame, k: int, iters: int):
                 lambda s: s["q"].cast("double") / 100000.0,
             ).alias("cent")
         )
+        # per-centroid |c|² computed ONCE on the k-row broadcast relation
+        # (r11, measured −15% same-session at sf0.1, identical results):
+        # the row-wise form re-ran the 64-dim fold on every scored row
+        # for a value constant per centroid.
         scored = ev.crossJoin(
-            F.broadcast(cents.select(F.col("c").alias("cc"), "cent"))
+            F.broadcast(
+                cents.select(
+                    F.col("c").alias("cc"),
+                    "cent",
+                    _dot(F.col("cent"), F.col("cent")).alias("csq"),
+                )
+            )
         ).select(
             "vec_id",
             F.col("cc").alias("c"),
-            (
-                _dot(F.col("cent"), F.col("cent")) - 2 * _dot(F.col("v"), F.col("cent"))
-            ).alias("score"),
+            (F.col("csq") - 2 * _dot(F.col("v"), F.col("cent"))).alias("score"),
         )
         assign = (
             scored.groupBy("vec_id")

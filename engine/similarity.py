@@ -1652,27 +1652,48 @@ def pq_parts(e: DataFrame, shortlist_frac_pct: int | None = None) -> dict[str, D
         F.expr(f"slice(v, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub"),
         (F.col("vec_id") % _PQ_K).cast("int").alias("c0"),
     )
+    # Codebook build as ONE wide aggregate (r11, the proven llm_centroids
+    # shape): 8 per-dimension avg aggregates grouped by (s, c0) replace
+    # the posexplode → (s, c0, pos) agg → ordered re-collect pipeline —
+    # no 8× Generate blow-up and one exchange instead of two, with the
+    # map-side partials already reduced to 128 groups × 8 columns. The
+    # 1e-5 grid snap makes the centroids bit-identical to the exploded
+    # form (and to the oracle): summation-order noise is ~1e-12, far
+    # below the grid (the same argument the oracle twin rests on).
+    # NB: literals via the Python API only (F.lit is a DOUBLE) — in a SQL
+    # string `100000.0` parses as DECIMAL(6,1) and the codebook silently
+    # becomes decimal-typed (slow decimal math AND different values)
+    q_aggs = [
+        F.round(F.avg(F.element_at("sub", i + 1)) * 100000)
+        .cast("long")
+        .alias(f"_q{i}")
+        for i in range(_PQ_SUBDIM)
+    ]
     cents = (
-        subs.select("s", "c0", F.posexplode("sub").alias("pos", "val"))
-        .groupBy("s", "c0", "pos")
-        .agg(F.round(F.avg("val") * 100000).cast("long").alias("qv"))
-        .groupBy("s", "c0")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "qv"))),
-                lambda st: st["qv"].cast("double") / 100000.0,
-            ).alias("cent")
+        subs.groupBy("s", "c0")
+        .agg(*q_aggs)
+        .select(
+            F.col("s").alias("cs"),
+            F.col("c0").alias("c"),
+            F.array(
+                *[
+                    F.col(f"_q{i}").cast("double") / F.lit(100000.0)
+                    for i in range(_PQ_SUBDIM)
+                ]
+            ).alias("cent"),
         )
-        .select(F.col("s").alias("cs"), F.col("c0").alias("c"), "cent")
     )
-    scored_assign = subs.join(F.broadcast(cents), F.col("s") == F.col("cs")).select(
+    # per-centroid |c|² computed ONCE on the 128-row codebook relation and
+    # broadcast with it (r11) — the row-wise form re-ran the 8-dim fold on
+    # every one of the n×8×16 scored rows for a value constant per centroid
+    cents_cc = cents.withColumn("cc", _dot(F.col("cent"), F.col("cent")))
+    scored_assign = subs.join(
+        F.broadcast(cents_cc), F.col("s") == F.col("cs")
+    ).select(
         "vec_id",
         "s",
         "c",
-        (
-            _dot(F.col("cent"), F.col("cent"))
-            - 2 * _dot(F.col("sub"), F.col("cent"))
-        ).alias("score"),
+        (F.col("cc") - 2 * _dot(F.col("sub"), F.col("cent"))).alias("score"),
     )
     codes = (
         scored_assign.groupBy("vec_id", "s")
