@@ -137,7 +137,21 @@ def _dir_bytes(sf_dir: str) -> int | None:
     return total or None
 
 
-def shuffle_partitions_for(sf_dir: str, cap: int = 32) -> int:
+def _env_cores(default: int = 32) -> int:
+    """Core count the harness was told to run with ($SPARK_GRAFT_CPUS —
+    the same variable that sizes local[N]), falling back to ``default``.
+    The input-sizing helpers derive their parallelism caps from this
+    (r11): the driver ALSO benches at a lower core count to measure
+    scaling, and a constant tuned to this machine's 32 threads would
+    over-partition those runs — partitions ≈ min(data-derived, cores-
+    derived) must track BOTH axes."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", default)))
+    except ValueError:
+        return default
+
+
+def shuffle_partitions_for(sf_dir: str, cap: int | None = None) -> int:
     """Size ``spark.sql.shuffle.partitions`` to the input, not the machine.
 
     The cluster rule is partitions ≈ total-shuffle-bytes / 128 MB-1 GB
@@ -165,7 +179,14 @@ def shuffle_partitions_for(sf_dir: str, cap: int = 32) -> int:
     Driver-fixture sizes (≤ sf1) never reach this tier, so driver-gate
     plans are unchanged. Unknown input size → ``cap`` (the safe value for
     a big fixture whose path was mistyped; AQE coalesces the excess).
+
+    ``cap`` defaults to the harness core count ($SPARK_GRAFT_CPUS,
+    r11) so a lower-core driver run caps parallelism at ITS machine
+    size instead of this host's 32 threads; at 32 CPUs every value is
+    unchanged.
     """
+    if cap is None:
+        cap = max(8, _env_cores())
     total = _dir_bytes(sf_dir)
     if total is None:
         return cap
@@ -174,7 +195,7 @@ def shuffle_partitions_for(sf_dir: str, cap: int = 32) -> int:
     return max(8, min(cap, total // (2 << 20) or 8))
 
 
-def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
+def max_partition_bytes_for(sf_dir: str, cores: int | None = None) -> str:
     """Size ``spark.sql.files.maxPartitionBytes`` to the input — the scan-side
     sibling of :func:`shuffle_partitions_for`.
 
@@ -195,8 +216,13 @@ def max_partition_bytes_for(sf_dir: str, cores: int = 32) -> str:
     noise, consistent with the earlier recorded sweep). On a real
     cluster the default stands — this helper exists for single-host
     benching where the file count, not the data, is the parallelism cap.
-    Unknown input size → the Spark default ("128m").
+    Unknown input size → the Spark default ("128m"). ``cores`` defaults
+    to the harness core count ($SPARK_GRAFT_CPUS, r11) so the
+    total/(2×cores) split target tracks the machine the bench actually
+    runs on; at 32 CPUs every value is unchanged.
     """
+    if cores is None:
+        cores = _env_cores()
     total = _dir_bytes(sf_dir)
     if total is None:
         return "128m"

@@ -192,7 +192,16 @@ def llm_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_text"),
         )
     )
-    base = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    # per-doc block count is pure arithmetic on the token count (r11):
+    # the explode emits exactly ceil(n/B) rows per doc, so deriving
+    # n_blocks from t skips a SECOND full scan+split+explode pass (the
+    # `blocks` subtree was evaluated twice — once for the window ranking,
+    # once only to be counted) plus its aggregation. Values identical by
+    # construction; the oracle still counts the exploded blocks.
+    base = t.select(
+        "doc_id",
+        F.floor((F.col("n") + _BLOCK_B - 1) / _BLOCK_B).cast("long").alias("n_blocks"),
+    )
     return base.join(kept, "doc_id", "left").select(
         "doc_id",
         "n_blocks",

@@ -70,7 +70,9 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def l2_norm(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.apply(lambda a: np.asarray(a, dtype=np.float64)))
+        # one vectorized stack + upcast (r11): identical doubles to the
+        # old per-row Series.apply(np.asarray) path without n Python calls
+        m = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
         return pd.Series(np.sqrt((m * m).sum(axis=1)))
 
     e = load_tables(spark, sf_dir)["embeddings"]

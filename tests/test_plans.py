@@ -280,11 +280,19 @@ def test_ann_quantized_window_is_narrow(spark, sf_dir):
 
 def test_near_dedup_has_no_pair_level_vector_join(spark, sf_dir):
     """llm_near_dedup_embedding: candidate verification is the per-bucket
-    FlatMapGroupsInPandas matmul; a pair-level join carrying embedding
-    columns (the 10x Arrow-transfer regression) must not reappear."""
+    FlatMapGroupsInArrow matmul (applyInArrow since r11 — one zero-copy
+    flatten per group instead of per-row pandas conversion); a pair-level
+    join carrying embedding columns (the 10x Arrow-transfer regression)
+    must not reappear, and the band-id UDF must evaluate exactly once
+    (the r11 duplicated-ArrowEvalPython fix, guide §4.4)."""
+    import re
+
     s = _plan(spark, "llm_near_dedup_embedding", sf_dir)
-    assert "FlatMapGroupsInPandas" in s
+    assert "FlatMapGroupsInArrow" in s
     assert "SortMergeJoin" not in s
+    assert len(set(re.findall(r"\((\d+)\) ArrowEvalPython", s))) == 1, (
+        "band-id UDF must not be duplicated below a pushed filter"
+    )
 
 
 def _executed(spark, name, sf_dir):
@@ -727,6 +735,8 @@ def test_shuffle_partitions_tiers():
             f.truncate(nbytes)
         return d
 
+    prev_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    os.environ["SPARK_GRAFT_CPUS"] = "32"  # pin the r11 env-derived cap
     try:
         assert shuffle_partitions_for(fixture_of(17 << 20)) == 8    # ~sf0.1 floor
         assert shuffle_partitions_for(fixture_of(200 << 20)) == 32  # ~sf1 2MB rule
@@ -738,7 +748,17 @@ def test_shuffle_partitions_tiers():
         # unknown input size (missing dir) -> cap, NOT the small-fixture
         # floor (ADVICE r06: a mistyped big-fixture path must not get 8)
         assert shuffle_partitions_for("/nonexistent/path") == 32
+        # r11: the cap tracks the harness core count ($SPARK_GRAFT_CPUS)
+        # so a lower-core driver bench caps parallelism at ITS machine
+        # size; the small-fixture floor (8) is unchanged
+        os.environ["SPARK_GRAFT_CPUS"] = "16"
+        assert shuffle_partitions_for(fixture_of(200 << 20)) == 16
+        assert shuffle_partitions_for(fixture_of(17 << 20)) == 8
     finally:
+        if prev_cpus is None:
+            os.environ.pop("SPARK_GRAFT_CPUS", None)
+        else:
+            os.environ["SPARK_GRAFT_CPUS"] = prev_cpus
         for d in made:
             shutil.rmtree(d, ignore_errors=True)
 
