@@ -47,6 +47,22 @@ _PROMOTED_R11 = [
     "scan_txlog_snapshot_isolation",
     "sink_txlog_conflict",
     "stream_txlog_sink",
+    # r11 OPTIMIZATION round: every key whose physical implementation
+    # changed (OPTIMIZATION_r11.md) — outputs proven identical locally
+    # (same-session subtract checks + oracle parity), but changed keys
+    # never coast on their old driver rank:
+    "llm_near_dedup_embedding",  # applyInArrow verifier, single band-id eval
+    "llm_dedup_clusters",        # contraction-loop rework
+    "llm_semdedup",              # applyInArrow cell verifier
+    "llm_banding_recall_report", # shared _banded_tau_pairs/_banded_melt
+    "llm_kmeans_lloyd",          # per-centroid |c|² precompute
+    "llm_ann_ivf",               # shared lloyd_fit
+    "llm_ann_pq",                # wide-agg codebook + cc precompute
+    "llm_ann_pq_clustered",      # shared pq_parts
+    "llm_ann_ivf_clustered",     # shared lloyd_fit/pq_parts
+    "llm_block_dedup",           # arithmetic n_blocks + xxhash64 window key
+    "llm_substring_dedup",       # array-hash grams
+    "udf_pandas_scalar",         # vectorized batch conversion
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:

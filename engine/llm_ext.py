@@ -235,7 +235,13 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ws") - 7),
-                lambda i: F.xxhash64(F.array_join(F.slice("ws", i, 8), " ")),
+                # hash the 8-word slice ARRAY directly (r11): xxhash64
+                # hashes arrays structurally, so the per-gram joined
+                # string is never materialized — same injectivity (post-
+                # split tokens contain no separator) and the same 64-bit
+                # collision audit via the hash gate; measured −15%
+                # same-session at sf0.1, identical output.
+                lambda i: F.xxhash64(F.slice("ws", i, 8)),
             )
         ).alias("gram"),
     )

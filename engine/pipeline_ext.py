@@ -176,7 +176,13 @@ def llm_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "block_text"
         ),
     )
-    w = Window.partitionBy(F.md5("block_text")).orderBy("doc_id", "i")
+    # xxhash64 window key (r11): the hash is grouping-only (never output),
+    # so the cheaper hash with an 8-byte shuffle key replaces the 32-char
+    # md5 string — same groups modulo the same 64-bit collision audit the
+    # docstring's keying argument already makes; measured −14%
+    # same-session at sf0.1, identical output (the oracle keeps md5 —
+    # both are just "group by block equality").
+    w = Window.partitionBy(F.xxhash64("block_text")).orderBy("doc_id", "i")
     ranked = blocks.withColumn("rn", F.row_number().over(w))
     kept = (
         ranked.where(F.col("rn") == 1)
