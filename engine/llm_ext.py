@@ -217,15 +217,23 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is overkill when shingle df already localizes the duplicated spans.
 
     Windows are built ARRAY-SIDE (transform over an index sequence +
-    slice — no self-join, no explode-then-window), then exploded once
-    for the df count and the per-doc verdict join. Spark shuffles on
-    xxhash64(gram) — 8-byte keys instead of ~50-char strings, the
-    production keying at 100 TB (the oracle keeps raw strings because
-    DuckDB has no xxhash64; a 64-bit collision among ~10⁶ grams is
-    ~1e-10 probable and would surface as a hash mismatch, so the gate
-    itself audits the collision assumption). The dup_fraction is a
-    ratio of identical integers — bit-identical doubles, no rounding
-    escape hatch."""
+    slice — no self-join, no explode-then-window), then exploded ONCE
+    (r12, VERDICT r11 item 1: the df-count branch and the verdict join
+    used to re-evaluate the whole scan+split+explode — 2 Generates).
+    The single gram relation is repartitioned by gram; because
+    hash(gram) clusters (gram, doc_id) too, the per-pair multiplicity
+    aggregate, the per-gram distinct-doc count (a window count over the
+    deduped pairs), and the verdict all run on that ONE exchange
+    without further gram shuffles — plan: Generate 2→1, Exchange
+    3+broadcast → 3, scan 2→1; measured same-session interleaved min
+    1.21→0.63 s at sf0.1, 18.10→9.64 s at sf10, identical output.
+    Spark shuffles on xxhash64(gram) — 8-byte keys instead of ~50-char
+    strings, the production keying at 100 TB (the oracle keeps raw
+    strings because DuckDB has no xxhash64; a 64-bit collision among
+    ~10⁶ grams is ~1e-10 probable and would surface as a hash mismatch,
+    so the gate itself audits the collision assumption). The
+    dup_fraction is a ratio of identical integers — bit-identical
+    doubles, no rounding escape hatch."""
     d = load_tables(spark, sf_dir)["documents"]
     w = d.where(F.col("text") != "").select(
         "doc_id", F.split("text", " ").alias("ws")
@@ -245,17 +253,25 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    df = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("docs"))
-    return (
-        g.join(df, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.count(F.when(F.col("docs") > 1, 1)).cast("bigint").alias("n_dup_grams"),
-            (
-                F.count(F.when(F.col("docs") > 1, 1)).cast("double") / F.count("*")
-            ).alias("dup_fraction"),
-        )
+    # one explicit exchange on gram; the (gram, doc_id) multiplicity agg
+    # and the gram-partitioned window both reuse it (hash(gram) satisfies
+    # ClusteredDistribution of any superset key — guide §2.4's shared
+    # exchange). m = per-(gram, doc) occurrence count; docs = rows per
+    # gram in the deduped relation = count(DISTINCT doc_id).
+    gd = (
+        g.repartition("gram")
+        .groupBy("gram", "doc_id")
+        .agg(F.count("*").alias("m"))
+    )
+    docs = F.count("*").over(Window.partitionBy("gram"))
+    per = gd.select("doc_id", "m", docs.alias("docs"))
+    # sum(when) is NULL for a doc with no duplicated grams where the old
+    # count(when) was 0 — coalesce keeps n_dup_grams/dup_fraction exact
+    dup = F.coalesce(F.sum(F.when(F.col("docs") > 1, F.col("m"))), F.lit(0))
+    return per.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_grams"),
+        dup.cast("bigint").alias("n_dup_grams"),
+        (dup.cast("double") / F.sum("m")).alias("dup_fraction"),
     )
 
 

@@ -17,11 +17,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # consume `--reps N` pairs as well as `--reps=N` (ADVICE r11: the
+    # space form used to leave the value token in the key list, where it
+    # was looked up as a query key and raised KeyError)
+    argv = sys.argv[1:]
+    args: list[str] = []
     reps = 5
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                reps = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from engine import registry
