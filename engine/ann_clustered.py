@@ -185,7 +185,12 @@ def llm_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate — a green driver row IS the measured "recall ≥ 0.9 at
     ≤ 5% scan on clustered vectors" claim (module docstring; prototype
     recall 1.000 at both 4k and 16k corpus sizes)."""
-    e = clustered_embeddings(load_tables(spark, sf_dir)["embeddings"])
+    # corpus generation (8× explode + 64-dim integer-mix transform) feeds
+    # training, scoring, brute force and three counts — materialize it
+    # once per run (r12, guide §5; fixture-bounded: 8×|embeddings| rows)
+    e = clustered_embeddings(
+        load_tables(spark, sf_dir)["embeddings"]
+    ).localCheckpoint(eager=True)
     parts = ivf_parts(e, _CELLS, _NPROBE, _ITERS)
     ev, q, scored, mine = parts["ev"], parts["q"], parts["scored"], parts["mine"]
     from pyspark.sql import Window
@@ -209,12 +214,18 @@ def llm_ann_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("qid", "rn", F.col("nid").alias("exact_nid"))
     )
-    m = mine.join(exact, ["qid", "rn"]).select(
-        "qid",
-        "rn",
-        "nid",
-        "cos",
-        (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
+    m = (
+        mine.join(exact, ["qid", "rn"])
+        .select(
+            "qid",
+            "rn",
+            "nid",
+            "cos",
+            (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
+        )
+        # nq×3 rows consumed by stats AND the final select — materialize
+        # once so the shortlist/re-rank/brute pipelines run once per call
+        .localCheckpoint(eager=True)
     )
     stats = m.groupBy().agg(
         F.round(F.avg(F.col("matches_exact").cast("int")), 6).alias("recall")
@@ -276,14 +287,24 @@ def llm_ann_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output = top-3 + matches_exact vs brute force + constant recall /
     scan_frac columns under the hash gate (module docstring; prototype
     recall 1.000 at 4k and 16k)."""
-    e = clustered_embeddings(load_tables(spark, sf_dir)["embeddings"])
+    # same corpus/m materialization as the IVF twin (r12, guide §5):
+    # pq_parts checkpoints its normalized ev, but the raw corpus feeds
+    # that projection and m feeds both stats and the final select
+    e = clustered_embeddings(
+        load_tables(spark, sf_dir)["embeddings"]
+    ).localCheckpoint(eager=True)
     p = pq_parts(e, shortlist_frac_pct=_SL_PCT)
-    m = p["mine"].join(p["exact"], ["qid", "rn"]).select(
-        "qid",
-        "rn",
-        "nid",
-        "cos",
-        (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
+    m = (
+        p["mine"]
+        .join(p["exact"], ["qid", "rn"])
+        .select(
+            "qid",
+            "rn",
+            "nid",
+            "cos",
+            (F.col("nid") == F.col("exact_nid")).alias("matches_exact"),
+        )
+        .localCheckpoint(eager=True)
     )
     stats = m.groupBy().agg(
         F.round(F.avg(F.col("matches_exact").cast("int")), 6).alias("recall")

@@ -93,12 +93,23 @@ def _kmeans_oracle() -> str:
     )
 
 
-def lloyd_fit(e: DataFrame, k: int, iters: int):
+def lloyd_fit(e: DataFrame, k: int, iters: int, checkpoint: bool = False):
     """DataFrame Lloyd fit (the llm_kmeans_lloyd loop, parameterized):
     returns (assign, cents) — assign(vec_id, c) w.r.t. the FINAL
     centroids, cents(c, cent: array<double>) on the 1e-5 grid. Both are
     engine-invariant (see llm_kmeans_lloyd), so callers can hash-match
-    anything built on top against kmeans_cte_parts' SQL twin."""
+    anything built on top against kmeans_cte_parts' SQL twin.
+
+    ``checkpoint=True`` eager-localCheckpoints each iteration's k-row
+    centroid relation (r12, guide §5 lineage truncation — the same
+    within-run materialization pq_parts uses for ``ev``): callers whose
+    plans consume ``cents``/``assign`` from MULTIPLE branches (ivf_parts:
+    probes + the assignment join + the recall accounting) otherwise
+    re-evaluate the whole nested Lloyd chain once per consumer. Values
+    are identical by construction (the checkpoint materializes the same
+    grid-snapped rows); single-consumer callers (llm_kmeans_lloyd's one
+    final action) keep the default lazy form, which Catalyst handles
+    directly at fixture scale."""
     ev = e.select("vec_id", _dbl("embedding").alias("v"))
     assign = ev.select("vec_id", (F.col("vec_id") % k).cast("int").alias("c"))
     cents = None
@@ -125,27 +136,43 @@ def lloyd_fit(e: DataFrame, k: int, iters: int):
                 lambda s: s["q"].cast("double") / 100000.0,
             ).alias("cent")
         )
-        # per-centroid |c|² computed ONCE on the k-row broadcast relation
-        # (r11, measured −15% same-session at sf0.1, identical results):
-        # the row-wise form re-ran the 64-dim fold on every scored row
-        # for a value constant per centroid.
-        scored = ev.crossJoin(
-            F.broadcast(
-                cents.select(
-                    F.col("c").alias("cc"),
-                    "cent",
-                    _dot(F.col("cent"), F.col("cent")).alias("csq"),
-                )
-            )
-        ).select(
-            "vec_id",
-            F.col("cc").alias("c"),
-            (F.col("csq") - 2 * _dot(F.col("v"), F.col("cent"))).alias("score"),
-        )
+        if checkpoint:
+            # k rows — truncates the nested per-iteration lineage so the
+            # final (assign, cents) plans are one scoring pass deep
+            cents = cents.localCheckpoint(eager=True)
+        # Per-row argmin over a one-row collected codebook (r12): the
+        # old form exploded n×k scored rows through a broadcast join and
+        # shuffled them back through a groupBy(vec_id) min-struct
+        # aggregate; array_min(transform(cbook, ...)) computes the same
+        # lexicographic min of (score, c) per row with NO n×k
+        # materialization and NO argmin exchange (one exchange per
+        # iteration removed). _dot's fold order is unchanged, so scores
+        # are bit-identical; assignments verified identical by exceptAll
+        # at sf0.1 AND sf10. Measured same-session interleaved (k=8,
+        # iters=3): 1.57 → 1.34 s min at sf0.1, 5.22 → 4.73 s at sf10;
+        # the k=48 ivf_clustered scoring pass 3.75 → 3.21 s.
+        # Per-centroid |c|² stays precomputed on the k-row relation
+        # (r11, −15%): the row-wise form re-ran the 64-dim fold on every
+        # scored row for a value constant per centroid.
+        cbook = cents.select(
+            "c", "cent", _dot(F.col("cent"), F.col("cent")).alias("csq")
+        ).agg(F.collect_list(F.struct("csq", "c", "cent")).alias("cbook"))
         assign = (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("score", "c")).alias("best"))
-            .select("vec_id", F.col("best.c").cast("int").alias("c"))
+            ev.crossJoin(F.broadcast(cbook))
+            .select(
+                "vec_id",
+                F.array_min(
+                    F.transform(
+                        "cbook",
+                        lambda s: F.struct(
+                            (s["csq"] - 2 * _dot(F.col("v"), s["cent"])).alias(
+                                "score"
+                            ),
+                            s["c"].alias("c"),
+                        ),
+                    )
+                )["c"].cast("int").alias("c"),
+            )
         )
     return assign, cents
 
@@ -156,10 +183,12 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed as a fully declarative DataFrame loop — each iteration is
     centroid-update (posexplode → (c, pos) avg → 1e-5 quantize →
     ordered re-collect, the llm_centroids shape) followed by
-    nearest-centroid reassignment (8-row broadcast cross join, score =
-    |c|² − 2·v·c since |v|² is constant under argmin, min-score with
-    min-c tiebreak). No model state ever touches the driver; the "model"
-    is an 8-row DataFrame broadcast into the scoring join.
+    nearest-centroid reassignment (the k-row codebook collected into a
+    ONE-row relation, broadcast, and argmin'd per row with
+    array_min(transform(...)); score = |c|² − 2·v·c since |v|² is
+    constant under argmin, min-score with min-c tiebreak). No model
+    state ever touches the driver; the "model" is a one-row DataFrame
+    broadcast into the scoring projection.
 
     The oracle unrolls the identical 3 iterations as a DuckDB CTE chain
     (_kmeans_oracle) — the hash gate covers the whole trajectory, not
@@ -170,16 +199,16 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     compound.
 
     At 100 TB: per iteration, one shuffle on (c, pos) for the update
-    (k×dim = 512 groups — map-side combined) and one n×k scoring pass
-    with the centroid side broadcast; the assignment argmin shuffles
-    (vec_id) n×k rows. On a real cluster, persist + truncate lineage
-    between iterations (localCheckpoint) — at fixture scale Catalyst
-    handles the 3-deep plan directly."""
+    (k×dim = 512 groups — map-side combined) and one n-row scoring pass
+    with the collected codebook broadcast; the argmin is computed PER
+    ROW (r12 — no n×k row materialization, no (vec_id) argmin shuffle).
+    On a real cluster, persist + truncate lineage between iterations
+    (localCheckpoint; lloyd_fit's checkpoint flag) — at fixture scale
+    Catalyst handles the 3-deep plan directly."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    # argmin inside lloyd_fit is a ONE-aggregate lexicographic min of
-    # (score, c) — identical semantics to the oracle's min-score-then-
-    # min-c two-step (doubles are engine-identical), one partial-
-    # aggregated exchange per iteration instead of a window pipeline
+    # argmin inside lloyd_fit is a per-row lexicographic array_min of
+    # (score, c) structs — identical semantics to the oracle's
+    # min-score-then-min-c two-step (doubles are engine-identical)
     assign, _ = lloyd_fit(e, _K, _ITERS)
     return assign.select("vec_id", F.col("c").alias("cluster"))
 

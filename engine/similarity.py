@@ -575,13 +575,28 @@ def ivf_parts(
     driver-green hash of the base key is unchanged."""
     from engine.llm_ext import lloyd_fit
 
-    assign, cents = lloyd_fit(e, cells, iters)
+    # Within-run lineage truncation (r12, guide §5 — the pq_parts ev
+    # precedent): every relation below feeds MULTIPLE consumers (cents →
+    # probes + the assign chain; assign → the scoring join + callers'
+    # scan accounting; ev → queries, the corpus join, brute force and
+    # counts), and the lazy forms re-evaluated the whole nested Lloyd
+    # chain + source projection once per consumer — measured at sf0.1
+    # (with the per-row argmin below), llm_ann_ivf 4.35 → 1.82 s and
+    # llm_ann_ivf_clustered 16.9 → 10.8 s warm min, identical output
+    # (oracle-checked; the clustered key's remaining cost is the two
+    # intrinsic k=48 scoring passes). All three are
+    # fixture-bounded rows (k centroids, n (vec_id, c) pairs, n vectors);
+    # on a real cluster the same truncation is the documented posture for
+    # iterative fits.
+    assign, cents = lloyd_fit(e, cells, iters, checkpoint=True)
+    assign = assign.localCheckpoint(eager=True)
     # training keeps every vector (no division); scoring excludes
     # zero-norm rows on both sides (oracle mirrors)
     ev = (
         e.select("vec_id", _dbl("embedding").alias("v"))
         .where(_dot("v", "v") > 0)
         .withColumn("nn", F.sqrt(_dot("v", "v")))
+        .localCheckpoint(eager=True)
     )
     q = ev.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"),
@@ -1037,6 +1052,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    the finally so no other key inherits the tail sizing; the final
     #    labels evaluation (corpus-scaled, one row per clustered vector)
     #    runs at the session's own partitioning.
+    #    NOTE (ADVICE r11): mutating the SESSION-global shuffle.partitions
+    #    mid-loop assumes the single-threaded bench/driver execution model
+    #    — a plan built/evaluated concurrently on the same SparkSession
+    #    while the loop runs would inherit the edge-sized (tiny) count.
+    #    Safe for every harness in this repo (one query at a time); a
+    #    concurrent deployment would repartition ec explicitly per round
+    #    instead of touching session conf.
     conf = labels.sparkSession.conf
     sess_parts = conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1649,7 +1671,17 @@ def pq_parts(e: DataFrame, shortlist_frac_pct: int | None = None) -> dict[str, D
     ).select(
         "vec_id",
         "s",
-        F.expr(f"slice(v, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub"),
+        # guard (ADVICE r11): the wide-agg codebook build below averages
+        # element_at(sub, 1.._PQ_SUBDIM), so a vector whose length stops
+        # dividing into _PQ_SUB×_PQ_SUBDIM would yield short trailing
+        # slices → NULL centroid elements → silently nulled _dot scores.
+        # Fail loudly instead of corrupting downstream.
+        F.expr(
+            f"if(size(v) = {_PQ_SUB * _PQ_SUBDIM},"
+            f" slice(v, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}),"
+            f" raise_error(concat('pq_parts: embedding dim ', size(v),"
+            f" ' != {_PQ_SUB * _PQ_SUBDIM}')))"
+        ).alias("sub"),
         (F.col("vec_id") % _PQ_K).cast("int").alias("c0"),
     )
     # Codebook build as ONE wide aggregate (r11, the proven llm_centroids
@@ -1687,18 +1719,30 @@ def pq_parts(e: DataFrame, shortlist_frac_pct: int | None = None) -> dict[str, D
     # broadcast with it (r11) — the row-wise form re-ran the 8-dim fold on
     # every one of the n×8×16 scored rows for a value constant per centroid
     cents_cc = cents.withColumn("cc", _dot(F.col("cent"), F.col("cent")))
-    scored_assign = subs.join(
-        F.broadcast(cents_cc), F.col("s") == F.col("cs")
-    ).select(
+    # Per-row argmin over the per-subspace collected codebook (r12, the
+    # lloyd_fit pattern): the old form materialized n×8×16 scored rows
+    # through the broadcast join and shuffled them back through a
+    # groupBy(vec_id, s) min-struct aggregate; array_min(transform(...))
+    # computes the same lexicographic min of (score, c) on the n×8
+    # sub-vector rows directly — one exchange removed, 16× fewer join
+    # output rows. _dot's fold order is unchanged (bit-identical
+    # scores); min over structs is order-independent, so collect_list's
+    # nondeterministic codebook order cannot matter.
+    cbooks = cents_cc.groupBy("cs").agg(
+        F.collect_list(F.struct(F.col("cc").alias("csq"), "c", "cent")).alias("cbook")
+    )
+    codes = subs.join(F.broadcast(cbooks), F.col("s") == F.col("cs")).select(
         "vec_id",
         "s",
-        "c",
-        (F.col("cc") - 2 * _dot(F.col("sub"), F.col("cent"))).alias("score"),
-    )
-    codes = (
-        scored_assign.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("score", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("c"))
+        F.array_min(
+            F.transform(
+                "cbook",
+                lambda t: F.struct(
+                    (t["csq"] - 2 * _dot(F.col("sub"), t["cent"])).alias("score"),
+                    t["c"].alias("c"),
+                ),
+            )
+        )["c"].alias("c"),
     )
     qs = ev.where(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qe"), F.col("nrm").alias("qnrm")
