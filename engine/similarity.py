@@ -1343,9 +1343,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates land in the same k-means cell, so cross-cell pairs need
     never be scored).
 
-    Plan: centroids build via posexplode+avg (no whole-vector UDAF),
-    broadcast to every vector for the argmax assignment (the
-    llm_cosine_topk shape — tie-free by the measured ≥1e-4 margin), and
+    Plan: centroids build via posexplode+avg (no whole-vector UDAF —
+    the wide-agg single-pass form was re-measured r12 and REJECTED:
+    slower at sf0.1 AND sf10, 0.34→0.48 / 0.62→0.67 s warm min, with
+    bit-identical centroids either way), broadcast to every vector for
+    the argmax assignment (the llm_cosine_topk shape — tie-free by the
+    measured min best-vs-second margin: 2.8e-5 at sf0.1, 2.8e-7 at
+    sf10, both ≫ the ~1e-15 summation-order noise floor), and
     each cell verifies pairwise cosine with ONE normalized matmul per
     group (applyInPandas — same per-group pattern as _banded_tau_pairs).
     At 100 TB the cell count scales with k ∝ n so cells stay bounded
@@ -1437,16 +1441,42 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = ids[order]
         mat = mat[order]
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        c = mat @ mat.T
-        iu = np.triu_indices(n, k=1)
-        keep = c[iu] >= tau
+        # Blocked pair scan (r12): unlike the LSH buckets (bounded at
+        # _BUCKET_CAP=512), a CELL is n/k of the corpus — at the 10×
+        # fixture that is 20k vectors per cell, where the old
+        # whole-matrix form allocated a 3.2 GB cosine matrix plus a
+        # 200M-entry triu index per cell (measured: the full key took
+        # 138 s warm at sf10). Tiling the upper triangle in 2048-row
+        # blocks computes the SAME ≥τ pairs (ids ascending ⇒ block
+        # order preserves ida < idb) with O(B²) transient memory;
+        # measured 138 → 9.9 s warm min at sf10, identical output
+        # (exceptAll = 0), no measurable change at sf0.1 where every
+        # cell fits one block.
+        B = 2048
         cell0 = tbl.column("cell")[0].as_py()
-        nkeep = int(keep.sum())
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i0 in range(0, n, B):
+            bi = mat[i0 : i0 + B]
+            c = bi @ bi.T
+            iu = np.triu_indices(len(bi), k=1)
+            keep = c[iu] >= tau
+            out_a.append(ids[i0 + iu[0][keep]])
+            out_b.append(ids[i0 + iu[1][keep]])
+            for j0 in range(i0 + B, n, B):
+                bj = mat[j0 : j0 + B]
+                ii, jj = np.nonzero(bi @ bj.T >= tau)
+                out_a.append(ids[i0 + ii])
+                out_b.append(ids[j0 + jj])
+        ida = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        idb = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "ida": pa.array(ids[iu[0][keep]], pa.int64()),
-                "idb": pa.array(ids[iu[1][keep]], pa.int64()),
-                "cell": pa.array(np.full(nkeep, cell0, dtype="int32"), pa.int32()),
+                "ida": pa.array(ida, pa.int64()),
+                "idb": pa.array(idb, pa.int64()),
+                "cell": pa.array(
+                    np.full(len(ida), cell0, dtype="int32"), pa.int32()
+                ),
             }
         )
 
