@@ -34,35 +34,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Keys whose implementation changed THIS round — their recorded driver
 # evidence is stale by construction, so they jump the queue regardless of
 # past green rows (the ADVICE-r05 staleness lesson: a changed key must
-# never coast on its old rank). The r10 list (all 5 re-passed their
-# driver rows in CORRECTNESS_r10) is retired.
-_PROMOTED_R11 = [
-    # r11 TxTable manifest format changed (ADVICE r10 medium): entries
-    # are now RELATIVE to data_dir and vacuum compares canonical paths —
-    # every key that writes/reads manifests or asserts vacuum counts
-    # exercises the new format end-to-end. This time the list includes
-    # stream_txlog_sink (ADVICE r10: it commits manifests through the
-    # same TxTable protocol and was inconsistently omitted in r10):
-    "sink_txlog_acid",
-    "scan_txlog_snapshot_isolation",
-    "sink_txlog_conflict",
-    "stream_txlog_sink",
-    # r11 OPTIMIZATION round: every key whose physical implementation
-    # changed (OPTIMIZATION_r11.md) — outputs proven identical locally
-    # (same-session subtract checks + oracle parity), but changed keys
-    # never coast on their old driver rank:
-    "llm_near_dedup_embedding",  # applyInArrow verifier, single band-id eval
-    "llm_dedup_clusters",        # contraction-loop rework
-    "llm_semdedup",              # applyInArrow cell verifier
-    "llm_banding_recall_report", # shared _banded_tau_pairs/_banded_melt
-    "llm_kmeans_lloyd",          # per-centroid |c|² precompute
-    "llm_ann_ivf",               # shared lloyd_fit
-    "llm_ann_pq",                # wide-agg codebook + cc precompute
-    "llm_ann_pq_clustered",      # shared pq_parts
-    "llm_ann_ivf_clustered",     # shared lloyd_fit/pq_parts
-    "llm_block_dedup",           # arithmetic n_blocks + xxhash64 window key
-    "llm_substring_dedup",       # array-hash grams
-    "udf_pandas_scalar",         # vectorized batch conversion
+# never coast on its old rank). The r11 list (all 16 re-passed their
+# driver rows in CORRECTNESS_r11) is retired.
+_PROMOTED_R12 = [
+    # r12 OPTIMIZATION round: every key whose physical implementation
+    # changed (OPTIMIZATION_r12.md) — outputs proven identical locally
+    # (same-session exceptAll checks + oracle parity at up to 3 scales),
+    # but changed keys never coast on their old driver rank:
+    "llm_substring_dedup",       # single-pass gram verdict (1 Generate)
+    "llm_block_dedup",           # two-seed xxhash64 window key (128-bit)
+    "llm_kmeans_lloyd",          # per-row array_min argmin scoring
+    "llm_ann_ivf",               # shared lloyd_fit + ivf_parts checkpoints
+    "llm_ann_pq",                # per-subspace codes argmin + dim guard
+    "llm_ann_ivf_clustered",     # corpus/m checkpoints + shared helpers
+    "llm_ann_pq_clustered",      # corpus/m checkpoints + shared helpers
+    "llm_semdedup",              # blocked cell verifier
 ]
 
 def _coverage_rank() -> tuple[dict[str, int], dict[str, int]]:
@@ -105,7 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's fixed-prefix check lands on the keys that need it most:
 
     tier 0: keys whose implementation changed since their last driver
-            row (_PROMOTED_R11) — their green rows are stale evidence;
+            row (_PROMOTED_R12) — their green rows are stale evidence;
     tier 3: previously rows-only keys that NOW carry a hash oracle
             (re-check upgrades r01/r02 recorded as weaker evidence);
     tier 4: never-driver-checked keys in name order (16 remain after
@@ -117,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adds no evidence).
     """
     rank, last_pass = _coverage_rank()
-    promoted = {k: i for i, k in enumerate(_PROMOTED_R11)}
+    promoted = {k: i for i, k in enumerate(_PROMOTED_R12)}
 
     def sort_key(item: tuple[str, Callable]) -> tuple[int, int, str]:
         name = item[0]
